@@ -1,0 +1,365 @@
+"""U-Net building blocks (Flax linen, NHWC, TPU-native).
+
+Each block reimplements the math of its reference counterpart
+(/root/reference/model.py:70-355) from the formulas, reshaped for TPU:
+NHWC layout (channel-last feeds the MXU's 128-lane minor dimension), optional
+bfloat16 compute with float32 normalization statistics, and module/parameter
+naming chosen so the torch->flax checkpoint converter is a mechanical key map
+(see srgd_tpu/checkpoint/torch_convert.py).
+
+Channel-order contracts that matter for checkpoint parity:
+- pixel-shuffle: torch PixelShuffle(2) reads channel o = c*4 + dy*2 + dx
+- space-to-depth: torch Rearrange 'b c (h p1) (w p2) -> b (c p1 p2) h w'
+  writes channel o = c*4 + p1*2 + p2
+- multi-head qkv: torch 'b (h c) x y' packs channels head-major
+All three are reproduced exactly below so converted conv kernels line up.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Norms
+# ---------------------------------------------------------------------------
+
+class RMSNorm(nn.Module):
+    """Channel RMS norm: x / max(||x||_2, 1e-12) * g * sqrt(C).
+
+    Parity: /root/reference/model.py:201-207 (F.normalize over dim=1 with the
+    torch default eps=1e-12). Stats in float32 regardless of compute dtype.
+    """
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param('g', nn.initializers.ones, (self.dim,), jnp.float32)
+        xf = _f32(x)
+        norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+        out = xf / jnp.maximum(norm, 1e-12) * g * math.sqrt(self.dim)
+        return out.astype(self.dtype)
+
+
+def group_norm(x, scale, bias, num_groups: int = 8, eps: float = 1e-5):
+    """GroupNorm over NHWC in float32, matching torch nn.GroupNorm semantics
+    (normalize over spatial x channels-within-group)."""
+    b, h, w, c = x.shape
+    xf = _f32(x).reshape(b, h, w, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, h, w, c)
+    return xf * _f32(scale) + _f32(bias)
+
+
+# ---------------------------------------------------------------------------
+# Time / class embeddings
+# ---------------------------------------------------------------------------
+
+class SinusoidalPosEmb(nn.Module):
+    """Parity: /root/reference/model.py:209-221."""
+
+    dim: int
+
+    def __call__(self, x):
+        half_dim = self.dim // 2
+        emb = math.log(10000) / (half_dim - 1)
+        emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+        emb = _f32(x)[:, None] * emb[None, :]
+        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class LearnedSinusoidalPosEmb(nn.Module):
+    """Random-or-learned sinusoidal embedding, output dim = dim + 1.
+
+    Parity: /root/reference/model.py:223-238; output is [x, sin(2pi x w), cos(...)].
+    Torch parameter name: ``weights``.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        half_dim = self.dim // 2
+        weights = self.param('weights', nn.initializers.normal(stddev=1.0),
+                             (half_dim,), jnp.float32)
+        x = _f32(x)[:, None]
+        freqs = x * weights[None, :] * (2 * math.pi)
+        return jnp.concatenate([x, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+class TimeMLP(nn.Module):
+    """sinu_pos_emb -> Dense -> GELU(exact) -> Dense.
+
+    Parity: /root/reference/model.py:424-429 (torch GELU is the exact erf form).
+    Torch Sequential indices 0/1/3 map to pos_emb/fc1/fc2.
+    """
+
+    dim: int                      # base unet dim
+    time_dim: int
+    learned_sinusoidal: bool
+    learned_sinusoidal_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        if self.learned_sinusoidal:
+            emb = LearnedSinusoidalPosEmb(self.learned_sinusoidal_dim, name='pos_emb')(t)
+        else:
+            emb = SinusoidalPosEmb(self.dim, name='pos_emb')(t)
+        emb = nn.Dense(self.time_dim, dtype=jnp.float32, name='fc1')(emb)
+        emb = nn.gelu(emb, approximate=False)
+        emb = nn.Dense(self.time_dim, dtype=jnp.float32, name='fc2')(emb)
+        return emb
+
+
+class ClassMLP(nn.Module):
+    """Embedding -> Dense -> GELU(exact) -> Dense, added to the time embedding.
+
+    Parity: /root/reference/model.py:612-619 (torch Sequential 0/1/3).
+    """
+
+    num_classes: int
+    dim: int
+    time_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, label):
+        emb = nn.Embed(self.num_classes, self.dim, dtype=jnp.float32, name='emb')(label)
+        emb = nn.Dense(self.time_dim, dtype=jnp.float32, name='fc1')(emb)
+        emb = nn.gelu(emb, approximate=False)
+        emb = nn.Dense(self.time_dim, dtype=jnp.float32, name='fc2')(emb)
+        return emb
+
+
+# ---------------------------------------------------------------------------
+# Conv blocks
+# ---------------------------------------------------------------------------
+
+class Block(nn.Module):
+    """conv3x3 -> GroupNorm(8) -> optional FiLM (x*(scale+1)+shift) -> SiLU.
+
+    Parity: /root/reference/model.py:243-259.
+    """
+
+    dim_out: int
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None):
+        x = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype, name='proj')(x)
+        scale = self.param('norm_scale', nn.initializers.ones, (self.dim_out,), jnp.float32)
+        bias = self.param('norm_bias', nn.initializers.zeros, (self.dim_out,), jnp.float32)
+        x = group_norm(x, scale, bias, num_groups=self.groups)
+        if scale_shift is not None:
+            s, sh = scale_shift
+            x = x * (_f32(s) + 1) + _f32(sh)
+        x = jax.nn.silu(x)
+        return x.astype(self.dtype)
+
+
+class ResnetBlock(nn.Module):
+    """Two FiLM'd blocks + 1x1 residual conv.
+
+    Parity: /root/reference/model.py:261-285. The time MLP is SiLU -> Dense
+    (torch key mlp.1); scale/shift is a channel-split with scale first.
+    """
+
+    dim: int
+    dim_out: int
+    time_emb_dim: Optional[int] = None
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        scale_shift = None
+        if self.time_emb_dim is not None and time_emb is not None:
+            t = nn.Dense(self.dim_out * 2, dtype=jnp.float32, name='mlp')(
+                jax.nn.silu(_f32(time_emb)))
+            t = t[:, None, None, :]
+            scale_shift = jnp.split(t, 2, axis=-1)
+
+        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name='block1')(
+            x, scale_shift=scale_shift)
+        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name='block2')(h)
+
+        if self.dim != self.dim_out:
+            res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name='res_conv')(x)
+        else:
+            res = x
+        return h + res
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+class LinearAttention(nn.Module):
+    """Linear attention with softmax-normalized q (over channel) and k (over
+    sequence). Parity: /root/reference/model.py:287-324.
+    """
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        n = h * w
+        hidden = self.heads * self.dim_head
+
+        y = RMSNorm(self.dim, dtype=self.dtype, name='norm')(x)
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
+                      name='to_qkv')(y)
+        # channels are packed [q|k|v], each head-major: index = head*dim_head + c
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = (_f32(qkv[:, :, i]) for i in range(3))  # (b, n, heads, d)
+
+        q = jax.nn.softmax(q, axis=-1)          # over channel dim d
+        k = jax.nn.softmax(k, axis=1)           # over sequence n
+        q = q * (self.dim_head ** -0.5)
+
+        # context[d, e] = sum_n k[n, d] v[n, e]; out[n, e] = sum_d context[d, e] q[n, d]
+        context = jnp.einsum('bnhd,bnhe->bhde', k, v)
+        out = jnp.einsum('bhde,bnhd->bnhe', context, q)
+        out = out.reshape(b, h, w, hidden).astype(self.dtype)
+
+        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name='to_out')(out)
+        out = RMSNorm(self.dim, dtype=self.dtype, name='out_norm')(out)
+        return out
+
+
+class Attention(nn.Module):
+    """Full softmax attention over the flattened spatial grid.
+
+    Parity: /root/reference/model.py:326-355 + library Attend (plain SDPA,
+    scale = dim_head^-0.5). Softmax in float32. ``use_pallas`` switches to the
+    fused Pallas kernel (same math) when enabled.
+    """
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        n = h * w
+        hidden = self.heads * self.dim_head
+
+        y = RMSNorm(self.dim, dtype=self.dtype, name='norm')(x)
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
+                      name='to_qkv')(y)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # (b, heads, n, d)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+
+        if self.use_pallas:
+            from srgd_tpu.kernels.attention import fused_attention
+            out = fused_attention(q, k, v)
+        else:
+            scale = self.dim_head ** -0.5
+            sim = jnp.einsum('bhnd,bhmd->bhnm', _f32(q), _f32(k),
+                             preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum('bhnm,bhmd->bhnd', attn, _f32(v),
+                             preferred_element_type=jnp.float32)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden).astype(self.dtype)
+        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name='to_out')(out)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Resampling
+# ---------------------------------------------------------------------------
+
+class PixelShuffleUpsample(nn.Module):
+    """conv1x1 (dim -> 4*dim_out) -> SiLU -> depth-to-space(2).
+
+    Parity: /root/reference/model.py:70-98 incl. the checkerboard-free
+    repeated-kaiming init of the conv (each group of 4 output channels starts
+    identical; affects training-from-scratch parity only).
+    """
+
+    dim: int
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        def repeated_kaiming(key, shape, dtype=jnp.float32):
+            # torch kaiming_uniform_ default: a=sqrt(5) leaky-relu gain over
+            # fan_in of the (dim_out, dim, 1, 1) sub-kernel, repeated 4x.
+            h, w, i, o = shape
+            sub = o // 4
+            gain = math.sqrt(2.0 / (1 + 5.0))
+            bound = gain * math.sqrt(3.0 / (i * h * w))
+            base = jax.random.uniform(key, (h, w, i, sub), dtype, -bound, bound)
+            # einops repeat 'o ... -> (o 4) ...': out channel c*4 + rep, i.e.
+            # all 4 subpixel positions of a channel start identical
+            return jnp.repeat(base, 4, axis=-1)
+
+        y = nn.Conv(self.dim_out * 4, (1, 1), dtype=self.dtype,
+                    kernel_init=repeated_kaiming,
+                    bias_init=nn.initializers.zeros, name='conv')(x)
+        y = jax.nn.silu(y)
+        b, h, w, c = y.shape
+        # torch PixelShuffle: in-channel o = c*4 + dy*2 + dx
+        y = y.reshape(b, h, w, self.dim_out, 2, 2)
+        y = y.transpose(0, 1, 4, 2, 5, 3)
+        return y.reshape(b, h * 2, w * 2, self.dim_out)
+
+
+class NearestUpsample(nn.Module):
+    """nearest x2 -> conv3x3. Parity: /root/reference/model.py:100-104."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype,
+                       name='conv')(x)
+
+
+class Downsample(nn.Module):
+    """space-to-depth(2) -> conv1x1. Parity: /root/reference/model.py:106-110.
+
+    torch Rearrange packs channel o = c*4 + p1*2 + p2.
+    """
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        y = y.transpose(0, 1, 3, 5, 2, 4)
+        y = y.reshape(b, h // 2, w // 2, c * 4)
+        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name='conv')(y)

@@ -1,0 +1,194 @@
+"""The SR denoiser U-Nets (Flax linen, NHWC).
+
+One module covers both reference nets: ``SRUnet`` (/root/reference/model.py:359-532)
+and ``ConditionalSRUnet`` (model.py:536-725) — they are identical except for the
+class-embedding MLP added to the time embedding (model.py:692-694). Passing
+``num_classes=None`` gives the unconditional net.
+
+TPU-native differences from the reference:
+- NHWC layout, optional bfloat16 compute (normalization stats stay float32).
+- The LR condition "null" for classifier-free guidance is an all-zeros condition
+  image (exactly what the reference's ``default(x_self_cond, zeros_like)`` does,
+  model.py:681-684) and the class "null" is a per-sample ``class_mask`` that
+  zeroes the class embedding *addition* (the reference omits the add,
+  model.py:692-694 — identical math). Both nulls are therefore expressible
+  inside a single batched forward, enabling fused doubled-batch CFG.
+- Module names mirror torch Sequential indices (downs_{i}_{j}, ...) so
+  checkpoint conversion is a mechanical key rewrite.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from srgd_tpu.nn.layers import (
+    Attention,
+    Block,
+    ClassMLP,
+    Downsample,
+    LinearAttention,
+    NearestUpsample,
+    PixelShuffleUpsample,
+    ResnetBlock,
+    TimeMLP,
+)
+
+Dtype = Any
+
+
+class SRUnet(nn.Module):
+    """4-stage conv+attention U-Net denoiser with LR-image channel-concat
+    conditioning and optional degradation-class conditioning.
+
+    Input channels = 2 * channels (noisy image concat condition image,
+    model.py:491-494); H, W must be divisible by 2**(stages-1) = 8.
+    """
+
+    dim: int
+    init_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    channels: int = 3
+    self_condition: bool = True          # LR condition via channel concat
+    resnet_block_groups: int = 8
+    learned_variance: bool = False
+    learned_sinusoidal_cond: bool = False
+    learned_sinusoidal_dim: int = 16
+    attn_dim_head: int = 32
+    attn_heads: int = 4
+    full_attn: Sequence[bool] = (False, False, False, True)
+    pixel_shuffle_upsample: bool = True
+    num_classes: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+    remat: bool = False
+
+    @property
+    def downsample_factor(self) -> int:
+        return 2 ** (len(self.dim_mults) - 1)
+
+    def _attn(self, dim, is_full, name):
+        if is_full:
+            return Attention(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
+                             dtype=self.dtype, use_pallas=self.use_pallas, name=name)
+        return LinearAttention(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
+                               dtype=self.dtype, name=name)
+
+    @nn.compact
+    def __call__(self, x, time, cond=None, class_label=None, class_mask=None):
+        """x: (B,H,W,C) noisy image in [-1,1]; time: (B,) float conditioning
+        scalar (t index / log-SNR / c_noise depending on family); cond:
+        (B,H,W,C) LR condition or None (-> zeros = CFG null); class_label:
+        (B,) int or None; class_mask: (B,) float gating the class-embedding
+        add per sample (None -> all ones)."""
+        assert x.shape[1] % self.downsample_factor == 0 and \
+            x.shape[2] % self.downsample_factor == 0, \
+            f'input spatial dims {x.shape[1:3]} must be divisible by {self.downsample_factor}'
+
+        dim = self.dim
+        init_dim = self.init_dim or dim
+        dims = [init_dim] + [dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        num_stages = len(in_out)
+        time_dim = dim * 4
+        groups = self.resnet_block_groups
+
+        if self.self_condition:
+            if cond is None:
+                cond = jnp.zeros_like(x)
+            x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(init_dim, (7, 7), padding=3, dtype=self.dtype, name='init_conv')(x)
+        r = x
+
+        t = TimeMLP(dim=dim, time_dim=time_dim,
+                    learned_sinusoidal=self.learned_sinusoidal_cond,
+                    learned_sinusoidal_dim=self.learned_sinusoidal_dim,
+                    dtype=self.dtype, name='time_mlp')(time)
+
+        if self.num_classes is not None and class_label is not None:
+            c = ClassMLP(self.num_classes, dim, time_dim, dtype=self.dtype,
+                         name='class_mlp')(class_label)
+            if class_mask is not None:
+                c = c * class_mask[:, None].astype(c.dtype)
+            t = t + c
+
+        block = lambda d_in, d_out, name: ResnetBlock(
+            d_in, d_out, time_emb_dim=time_dim, groups=groups, dtype=self.dtype,
+            name=name)
+
+        hs = []
+        for i, (d_in, d_out) in enumerate(in_out):
+            is_last = i >= num_stages - 1
+            x = block(d_in, d_in, f'downs_{i}_0')(x, t)
+            hs.append(x)
+            x = block(d_in, d_in, f'downs_{i}_1')(x, t)
+            x = self._attn(d_in, self.full_attn[i], f'downs_{i}_2')(x) + x
+            hs.append(x)
+            if not is_last:
+                x = Downsample(d_out, dtype=self.dtype, name=f'downs_{i}_3')(x)
+            else:
+                x = nn.Conv(d_out, (3, 3), padding=1, dtype=self.dtype,
+                            name=f'downs_{i}_3')(x)
+
+        mid_dim = dims[-1]
+        x = block(mid_dim, mid_dim, 'mid_block1')(x, t)
+        x = self._attn(mid_dim, True, 'mid_attn')(x) + x
+        x = block(mid_dim, mid_dim, 'mid_block2')(x, t)
+
+        up_klass = PixelShuffleUpsample if self.pixel_shuffle_upsample else NearestUpsample
+        rev = list(zip(reversed(in_out), reversed(list(self.full_attn))))
+        for i, ((d_in, d_out), is_full) in enumerate(rev):
+            is_last = i == num_stages - 1
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = block(d_out + d_in, d_out, f'ups_{i}_0')(x, t)
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = block(d_out + d_in, d_out, f'ups_{i}_1')(x, t)
+            x = self._attn(d_out, is_full, f'ups_{i}_2')(x) + x
+            if not is_last:
+                if self.pixel_shuffle_upsample:
+                    x = PixelShuffleUpsample(d_out, d_in, dtype=self.dtype,
+                                             name=f'ups_{i}_3')(x)
+                else:
+                    x = NearestUpsample(d_in, dtype=self.dtype, name=f'ups_{i}_3')(x)
+            else:
+                x = nn.Conv(d_in, (3, 3), padding=1, dtype=self.dtype,
+                            name=f'ups_{i}_3')(x)
+
+        x = jnp.concatenate([x, r], axis=-1)
+        x = ResnetBlock(dim * 2, dim, time_emb_dim=time_dim, groups=groups,
+                        dtype=self.dtype, name='final_res_block')(x, t)
+
+        out_dim = self.out_dim or self.channels * (2 if self.learned_variance else 1)
+        x = nn.Conv(out_dim, (1, 1), dtype=self.dtype, name='final_conv')(x)
+        return x.astype(jnp.float32)
+
+
+def build_unet_from_config(conf, dtype=None) -> SRUnet:
+    """Factory matching get_model's U-Net construction
+    (/root/reference/model.py:3500-3532). Both 'conditional' and plain model
+    names produce a working net here (the reference's unconditional path
+    crashes on phantom free-u kwargs, SURVEY.md section 2.13.1 — fixed by design)."""
+    dim_mults = tuple(int(e) for e in conf.ddpm_unet_dim_mults.split(','))
+    full_attn = tuple(e.strip() == 'True' for e in conf.full_attn.split(','))
+    is_conditional = 'conditional' in conf.model
+    if dtype is None:
+        dtype = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}[conf.compute_dtype]
+    return SRUnet(
+        dim=conf.unet_dim,
+        dim_mults=dim_mults,
+        full_attn=full_attn,
+        learned_variance=conf.learned_variance,
+        learned_sinusoidal_cond=conf.learned_sinusoidal_cond,
+        learned_sinusoidal_dim=conf.learned_sinusoidal_dim,
+        pixel_shuffle_upsample=conf.pixel_shuffle_upsample,
+        num_classes=conf.num_classes if is_conditional else None,
+        dtype=dtype,
+        use_pallas=conf.use_pallas_kernels,
+        remat=conf.remat_unet,
+    )

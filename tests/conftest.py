@@ -1,0 +1,14 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip logic is tested without hardware via XLA's host-platform device
+splitting (the JAX-idiomatic fake-backend pattern, SURVEY.md section 4).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+xla_flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in xla_flags:
+    os.environ['XLA_FLAGS'] = (
+        xla_flags + ' --xla_force_host_platform_device_count=8').strip()
