@@ -1,0 +1,109 @@
+"""Shared diffusion machinery: normalization, fused classifier-free guidance,
+and chunked tile mapping.
+
+Guidance design (TPU-native): the reference runs two sequential net calls when
+a CFG scale != 1 (/root/reference/model.py:3147-3154). Here the conditional and
+null branches are stacked into ONE doubled batch and split after a single
+forward — same math (null + (cond - null) * scale), half the launches, and the
+guidance-warmup gate becomes a traced per-step scale so the whole sampler
+compiles to a single scan.
+
+The reference's CFG nulls are: LR-condition null = zeros condition image
+(model.py:681-684) and class null = omitting the class-embedding add
+(model.py:692-694), reproduced via cond=0 / class_mask=0.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_to_neg_one_to_one(img):
+    return img * 2.0 - 1.0
+
+
+def unnormalize_to_zero_to_one(t):
+    return (t + 1.0) * 0.5
+
+
+GUIDANCE_NONE = 'none'
+GUIDANCE_COND = 'cond'
+GUIDANCE_CLASS = 'class'
+
+
+def resolve_guidance_mode(cond_scale: float, class_cond_scale: float) -> str:
+    """Static (trace-time) guidance mode. Parity incl. the dual-CFG
+    NotImplementedError guard (/root/reference/model.py:3138-3139)."""
+    if cond_scale != 1.0 and class_cond_scale != 1.0:
+        raise NotImplementedError(
+            'Currently, you cannot specify both cond_scale and class_cond_scale '
+            'at the same time.')
+    if cond_scale != 1.0:
+        return GUIDANCE_COND
+    if class_cond_scale != 1.0:
+        return GUIDANCE_CLASS
+    return GUIDANCE_NONE
+
+
+def guided_denoise(net_apply: Callable, params, x, time_b, cond, class_label,
+                   mode: str, scale):
+    """One (possibly doubled-batch) denoiser call with CFG merge.
+
+    net_apply(params, x, time, cond, class_label, class_mask) -> prediction.
+    ``scale`` may be a traced scalar (guidance warmup); when it equals 1.0 the
+    merge reduces to the conditional output exactly, matching the reference's
+    warmup behavior of calling the net once (model.py:3349-3356).
+    """
+    b = x.shape[0]
+    if mode == GUIDANCE_NONE:
+        return net_apply(params, x, time_b, cond, class_label, None)
+
+    x2 = jnp.concatenate([x, x], axis=0)
+    t2 = jnp.concatenate([time_b, time_b], axis=0)
+    if mode == GUIDANCE_COND:
+        cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+        label2 = None if class_label is None else jnp.concatenate(
+            [class_label, class_label], axis=0)
+        mask2 = None
+    else:  # GUIDANCE_CLASS
+        cond2 = None if cond is None else jnp.concatenate([cond, cond], axis=0)
+        label2 = jnp.concatenate([class_label, class_label], axis=0)
+        mask2 = jnp.concatenate(
+            [jnp.ones((b,), jnp.float32), jnp.zeros((b,), jnp.float32)], axis=0)
+
+    out2 = net_apply(params, x2, t2, cond2, label2, mask2)
+    cond_out, null_out = out2[:b], out2[b:]
+    return null_out + (cond_out - null_out) * scale
+
+
+def chunked_map(fn: Callable, n_chunks: int, *arrays):
+    """Apply ``fn`` over leading-axis chunks of the given arrays.
+
+    arrays have leading dim n (all equal, divisible by n_chunks after the
+    caller's padding). n_chunks == 1 calls fn directly (no lax.map overhead).
+    fn takes the chunked arrays and returns one array (or tuple of arrays).
+    """
+    if n_chunks == 1:
+        return fn(*arrays)
+    split = [a.reshape((n_chunks, a.shape[0] // n_chunks) + a.shape[1:])
+             for a in arrays]
+    out = jax.lax.map(lambda xs: fn(*xs), tuple(split))
+    return jax.tree.map(
+        lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]), out)
+
+
+def pad_tiles_to_multiple(tiles: jnp.ndarray, chunk: int):
+    """Pad the tile axis to a multiple of ``chunk``; returns (padded, n_orig).
+
+    Reference packs the remainder minibatch separately (model.py:3383-3390);
+    on TPU we pad to a static multiple and drop the padding after (SURVEY.md
+    section 7 'remainder minibatch')."""
+    n = tiles.shape[0]
+    n_pad = (-n) % chunk
+    if n_pad == 0:
+        return tiles, n
+    pad_width = [(0, n_pad)] + [(0, 0)] * (tiles.ndim - 1)
+    return jnp.pad(tiles, pad_width), n

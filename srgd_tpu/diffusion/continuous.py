@@ -1,0 +1,345 @@
+"""Continuous-time Gaussian diffusion (VDM), the reference's shipped family.
+
+Reimplements ContinuousTimeGaussianDiffusionSR and its conditional variant
+(/root/reference/model.py:2679-3495) as pure jittable functions:
+
+- the 250-step ancestral sampler compiles to ONE ``lax.scan`` (the reference
+  runs a Python step loop, SURVEY.md section 3.2);
+- the alternating-grid tiled sampler is the same scan with a ``lax.cond`` on
+  step parity — aligned-grid steps are a space-to-tiles reshape, shifted-grid
+  steps a static interior slice; margin re-noising is a masked fresh-noise fill;
+- classifier-free guidance is one fused doubled-batch forward (base.py);
+- log-SNR values at the static linspace sampling times come from a float64
+  precomputed table (schedules.py).
+
+Sampler math parity (model.py:3122-3188):
+    c        = -expm1(logSNR - logSNR_next)
+    alpha^2  = sigmoid(logSNR),  sigma^2 = sigmoid(-logSNR)
+    x0       = (x - sigma * eps_hat) / alpha, clamped to [-1, 1]
+    mean     = alpha_next * (x * (1 - c) / alpha + c * x0)
+    var      = sigma_next^2 * c
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srgd_tpu.diffusion import schedules
+from srgd_tpu.diffusion.base import (
+    GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, chunked_map,
+    guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
+    resolve_guidance_mode, unnormalize_to_zero_to_one,
+)
+from srgd_tpu.tiling import (
+    TileGeometry, extract_tiles, make_geometry, reflect_pad, scatter_tiles,
+    zero_margin,
+)
+
+
+@dataclass(frozen=True)
+class ContinuousDiffusion:
+    """Wraps a denoiser net with continuous-time diffusion sampling/training."""
+
+    net: Any                      # SRUnet (flax module)
+    image_size: int
+    channels: int = 3
+    noise_schedule: str = 'linear'
+    num_sample_steps: int = 500
+    clip_sample_denoised: bool = True
+    min_snr_loss_weight: bool = False
+    min_snr_gamma: float = 5.0
+    cond_drop_prob: float = 0.0
+    class_cond_drop_prob: float = 0.0
+    loss_type: str = 'l2'
+
+    # ------------------------------------------------------------------
+    def net_apply(self, params, x, time_b, cond, class_label, class_mask):
+        return self.net.apply(params, x, time_b, cond=cond,
+                              class_label=class_label, class_mask=class_mask)
+
+    def log_snr(self, t):
+        return schedules.LOG_SNR_SCHEDULES[self.noise_schedule](t)
+
+    def log_snr_table(self, num_steps: int) -> np.ndarray:
+        steps = np.linspace(1.0, 0.0, num_steps + 1)
+        return schedules.make_log_snr_table(self.noise_schedule, steps)
+
+    # ------------------------------------------------------------------
+    # Core step math
+    # ------------------------------------------------------------------
+    def p_sample_tiles(self, params, x, cond, class_label, noise,
+                       log_snr, log_snr_next, mode: str, scale, is_last):
+        """One reverse step on a batch of tiles (or a whole image batch).
+
+        log_snr / log_snr_next / scale / is_last are traced scalars.
+        Returns (next_x, x_start)."""
+        c = -jnp.expm1(log_snr - log_snr_next)
+        alpha = jnp.sqrt(jax.nn.sigmoid(log_snr))
+        sigma = jnp.sqrt(jax.nn.sigmoid(-log_snr))
+        alpha_next = jnp.sqrt(jax.nn.sigmoid(log_snr_next))
+        sq_sigma_next = jax.nn.sigmoid(-log_snr_next)
+
+        time_b = jnp.full((x.shape[0],), log_snr, dtype=jnp.float32)
+        eps = guided_denoise(self.net_apply, params, x, time_b, cond,
+                             class_label, mode, scale)
+
+        x_start = (x - sigma * eps) / alpha
+        if self.clip_sample_denoised:
+            x_start = jnp.clip(x_start, -1.0, 1.0)
+            mean = alpha_next * (x * (1.0 - c) / alpha + c * x_start)
+        else:
+            mean = alpha_next / alpha * (x - c * sigma * eps)
+
+        var = sq_sigma_next * c
+        next_x = jnp.where(is_last, mean, mean + jnp.sqrt(jnp.maximum(var, 0.0)) * noise)
+        return next_x, x_start
+
+    # ------------------------------------------------------------------
+    # q(x_t | x_0)
+    # ------------------------------------------------------------------
+    def q_sample(self, x_start, times, noise):
+        """times: (B,) in [0,1]. Parity: model.py:3434-3447."""
+        log_snr = self.log_snr(times)
+        padded = log_snr.reshape(log_snr.shape + (1,) * (x_start.ndim - 1))
+        alpha = jnp.sqrt(jax.nn.sigmoid(padded))
+        sigma = jnp.sqrt(jax.nn.sigmoid(-padded))
+        return x_start * alpha + noise * sigma, log_snr
+
+    def q_sample_log_snr(self, x_start, log_snr_scalar, noise):
+        """q_sample at a fixed (table) log-SNR value."""
+        alpha = jnp.sqrt(jax.nn.sigmoid(log_snr_scalar))
+        sigma = jnp.sqrt(jax.nn.sigmoid(-log_snr_scalar))
+        return x_start * alpha + noise * sigma
+
+    # ------------------------------------------------------------------
+    # Non-tiled ancestral sampler (p_sample_loop) as one scan
+    # Parity: model.py:3190-3246
+    # ------------------------------------------------------------------
+    def sample(self, params, rng, condition_x, class_label=None, *,
+               cond_scale: float = 1.0, guidance_start_steps: int = 0,
+               class_cond_scale: float = 1.0, class_guidance_start_steps: int = 0,
+               generation_start_steps: int = 0,
+               num_sample_steps: Optional[int] = None,
+               capture_trajectory: bool = False):
+        """condition_x: (B,H,W,C) in [0,1]. Returns image(s) in [0,1]
+        (and the trajectory stack if requested)."""
+        n_steps = num_sample_steps or self.num_sample_steps
+        cond = normalize_to_neg_one_to_one(condition_x)
+        table = jnp.asarray(self.log_snr_table(n_steps))
+        mode = resolve_guidance_mode(cond_scale, class_cond_scale)
+
+        rng, init_key = jax.random.split(rng)
+        if generation_start_steps > 0:
+            noise = jax.random.normal(init_key, cond.shape, jnp.float32)
+            img = self.q_sample_log_snr(cond, table[generation_start_steps], noise)
+        else:
+            img = jax.random.normal(init_key, cond.shape, jnp.float32)
+
+        def step(img, i):
+            key = jax.random.fold_in(rng, i)
+            scale = self._step_scale(i, mode, cond_scale, guidance_start_steps,
+                                     class_cond_scale, class_guidance_start_steps)
+            noise = jax.random.normal(key, img.shape, jnp.float32)
+            img, x_start = self.p_sample_tiles(
+                params, img, cond, class_label, noise,
+                table[i], table[i + 1], mode, scale, is_last=(i == n_steps - 1))
+            return img, (img if capture_trajectory else None)
+
+        idxs = jnp.arange(generation_start_steps, n_steps)
+        img, traj = jax.lax.scan(step, img, idxs)
+
+        out = unnormalize_to_zero_to_one(jnp.clip(img, -1.0, 1.0))
+        if capture_trajectory:
+            return out, traj
+        return out
+
+    @staticmethod
+    def _step_scale(i, mode, cond_scale, guidance_start_steps,
+                    class_cond_scale, class_guidance_start_steps):
+        """Guidance warmup gate as a traced per-step scale
+        (parity: model.py:3349-3356)."""
+        if mode == GUIDANCE_COND:
+            return jnp.where(i < guidance_start_steps, 1.0, cond_scale)
+        if mode == GUIDANCE_CLASS:
+            return jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
+        return jnp.float32(1.0)
+
+    # ------------------------------------------------------------------
+    # Tiled sampler. Parity: model.py:3288-3413.
+    # ------------------------------------------------------------------
+    def tiled_sample(self, params, rng, condition_x, class_label=None, *,
+                     batch_size: int = 4, tile_size: int = 256,
+                     tile_stride: Optional[int] = None,
+                     cond_scale: float = 1.0, guidance_start_steps: int = 0,
+                     class_cond_scale: float = 1.0,
+                     class_guidance_start_steps: int = 0,
+                     generation_start_steps: int = 0,
+                     num_sample_steps: Optional[int] = None,
+                     start_white_noise: bool = True,
+                     capture_trajectory: bool = False):
+        """condition_x: (B,H,W,C) in [0,1] at TARGET resolution (pre-upscaled
+        LR). Returns (B, H, W, C) in [0,1]."""
+        n_steps = num_sample_steps or self.num_sample_steps
+        b, h, w, ch = condition_x.shape
+        geom = make_geometry(h, w, tile_size, tile_stride)
+        mode = resolve_guidance_mode(cond_scale, class_cond_scale)
+        table = jnp.asarray(self.log_snr_table(n_steps))
+
+        cond = normalize_to_neg_one_to_one(condition_x)
+        cond_padded = reflect_pad(cond, geom.pad)
+        canvas_shape = cond_padded.shape
+
+        rng, init_key = jax.random.split(rng)
+        if generation_start_steps > 0:
+            noise = jax.random.normal(init_key, canvas_shape, jnp.float32)
+            img = self.q_sample_log_snr(cond_padded, table[generation_start_steps], noise)
+        elif start_white_noise:
+            img = jax.random.normal(init_key, canvas_shape, jnp.float32)
+        else:
+            noise = jax.random.normal(init_key, canvas_shape, jnp.float32)
+            img = self.q_sample_log_snr(cond_padded, table[0], noise)
+
+        # condition canvas is zeroed outside the shifted-grid interior
+        # (model.py:3340-3342); precompute per-parity condition/label tiles.
+        cond_zeroed = zero_margin(cond_padded, geom)
+        n_tiles = (geom.n_tiles_even * b, geom.n_tiles_odd * b)
+        chunk = max(1, min(batch_size, max(n_tiles)))
+        cond_tiles, label_tiles, n_chunks = [], [], []
+        for parity in (0, 1):
+            ct, _ = pad_tiles_to_multiple(
+                extract_tiles(cond_zeroed, geom, parity), chunk)
+            cond_tiles.append(ct)
+            n_chunks.append(ct.shape[0] // chunk)
+            if class_label is not None:
+                lt = jnp.repeat(class_label, n_tiles[parity] // b)
+                lt = jnp.pad(lt, (0, ct.shape[0] - lt.shape[0]))
+                label_tiles.append(lt)
+            else:
+                label_tiles.append(None)
+
+        if geom.has_margin:
+            it, il, ib, ir = geom.interior
+            interior_mask = jnp.zeros((1, geom.padded_h, geom.padded_w, 1),
+                                      jnp.float32).at[:, it:ib, il:ir, :].set(1.0)
+        else:
+            interior_mask = None
+
+        def process(img, i, key, parity, scale):
+            # noise is drawn at canvas resolution then tiled, so results are
+            # bit-identical regardless of the tile-chunk (batch_size) setting
+            noise_canvas = jax.random.normal(key, canvas_shape, jnp.float32)
+            tiles = extract_tiles(img, geom, parity)
+            tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
+            noise, _ = pad_tiles_to_multiple(
+                extract_tiles(noise_canvas, geom, parity), chunk)
+            is_last = i == n_steps - 1
+            lt = label_tiles[parity]
+
+            def chunk_fn(xs, cs, ns, *maybe_label):
+                lb = maybe_label[0] if maybe_label else None
+                nx, _ = self.p_sample_tiles(
+                    params, xs, cs, lb, ns, table[i], table[i + 1],
+                    mode, scale, is_last)
+                return nx
+
+            args = (tiles, cond_tiles[parity], noise)
+            if lt is not None:
+                args = args + (lt,)
+            out = chunked_map(chunk_fn, n_chunks[parity], *args)
+            return scatter_tiles(img, out[:n_orig], geom, parity)
+
+        def step(img, i):
+            key = jax.random.fold_in(rng, i)
+            key_t, key_m = jax.random.split(key)
+            scale = self._step_scale(i, mode, cond_scale, guidance_start_steps,
+                                     class_cond_scale, class_guidance_start_steps)
+
+            img = jax.lax.cond(
+                i % 2 == 0,
+                lambda im: process(im, i, key_t, 0, scale),
+                lambda im: self._odd_step(im, i, key_t, key_m, process, scale,
+                                          table, interior_mask, n_steps),
+                img)
+            return img, (img if capture_trajectory else None)
+
+        idxs = jnp.arange(generation_start_steps, n_steps)
+        img, traj = jax.lax.scan(step, img, idxs)
+
+        left, top, right, bottom = geom.crop
+        out = img[:, top:bottom, left:right, :]
+        out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))
+        if capture_trajectory:
+            return out, traj
+        return out
+
+    def _odd_step(self, img, i, key_t, key_m, process, scale, table,
+                  interior_mask, n_steps):
+        img = process(img, i, key_t, 1, scale)
+        if interior_mask is not None:
+            # margin := q_sample(zeros, t_next) = sigma_next * fresh noise
+            # (model.py:3392-3396); runs on every odd step incl. the final one,
+            # like the reference (the crop region never overlaps the margin).
+            sigma_next = jnp.sqrt(jax.nn.sigmoid(-table[i + 1]))
+            fresh = jax.random.normal(key_m, img.shape, jnp.float32) * sigma_next
+            img = img * interior_mask + fresh * (1.0 - interior_mask)
+        return img
+
+    # ------------------------------------------------------------------
+    # Training loss. Parity: model.py:3449-3495 (+2992-3051 unconditional).
+    # ------------------------------------------------------------------
+    def loss(self, params, rng, img, condition_x, class_label=None, *,
+             noise=None, times=None):
+        """img / condition_x in [0,1], shape (B,H,W,C). Returns scalar loss.
+
+        Whole-batch condition dropout with prob cond_drop_prob /
+        class_cond_drop_prob (the reference draws ONE uniform per batch,
+        model.py:3487-3493)."""
+        b = img.shape[0]
+        k_t, k_n, k_d1, k_d2 = jax.random.split(rng, 4)
+        if times is None:
+            times = jax.random.uniform(k_t, (b,), jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(k_n, img.shape, jnp.float32)
+
+        x_start = normalize_to_neg_one_to_one(img)
+        cond = normalize_to_neg_one_to_one(condition_x)
+
+        drop_cond = jax.random.uniform(k_d1, ()) < self.cond_drop_prob
+        cond = jnp.where(drop_cond, jnp.zeros_like(cond), cond)
+
+        class_mask = None
+        if class_label is not None:
+            drop_class = jax.random.uniform(k_d2, ()) < self.class_cond_drop_prob
+            class_mask = jnp.where(drop_class, 0.0, 1.0) * jnp.ones((b,), jnp.float32)
+
+        x, log_snr = self.q_sample(x_start, times, noise)
+        eps_hat = self.net_apply(params, x, log_snr, cond, class_label, class_mask)
+
+        err = _elementwise_loss(eps_hat, noise, self.loss_type)
+        losses = jnp.mean(err.reshape(b, -1), axis=1)
+
+        if self.min_snr_loss_weight:
+            # parity note: the continuous family clamps snr from BELOW
+            # (model.py:3473-3476), unlike the discrete family's clamp-above.
+            snr = jnp.exp(log_snr)
+            losses = losses * (jnp.maximum(snr, self.min_snr_gamma) / snr)
+
+        return jnp.mean(losses)
+
+
+def _elementwise_loss(pred, target, loss_type: str):
+    if loss_type == 'l2':
+        return jnp.square(pred - target)
+    if loss_type == 'l1':
+        return jnp.abs(pred - target)
+    if loss_type == 'smooth_l1':
+        d = jnp.abs(pred - target)
+        return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+    raise ValueError(f'invalid loss type {loss_type}')

@@ -1,0 +1,248 @@
+"""Continuous-time diffusion family tests: step math vs hand-computed
+formulas, scan-vs-eager-loop equivalence, fused-CFG identities, tiled
+sampler invariants, and training loss behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srgd_tpu.diffusion.base import (
+    GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, resolve_guidance_mode)
+from srgd_tpu.diffusion.continuous import ContinuousDiffusion
+from srgd_tpu.diffusion.schedules import make_log_snr_table
+from srgd_tpu.nn.unet import SRUnet
+
+
+class FakeNet:
+    """Deterministic stand-in denoiser: cheap, conditioning-sensitive.
+
+    eps_hat = 0.3*x + 0.5*cond + 0.01*t + 0.2*label_emb (when class used).
+    """
+
+    def apply(self, params, x, time, cond=None, class_label=None, class_mask=None):
+        out = 0.3 * x + 0.01 * time[:, None, None, None]
+        if cond is not None:
+            out = out + 0.5 * cond
+        if class_label is not None:
+            lab = (1.0 + class_label.astype(jnp.float32))[:, None, None, None]
+            if class_mask is not None:
+                lab = lab * class_mask[:, None, None, None]
+            out = out + 0.2 * lab
+        return out
+
+
+def make_diff(**kw):
+    kw.setdefault('net', FakeNet())
+    kw.setdefault('image_size', 32)
+    kw.setdefault('num_sample_steps', 6)
+    return ContinuousDiffusion(**kw)
+
+
+def test_p_sample_math_matches_formulas():
+    d = make_diff()
+    table = make_log_snr_table('linear', np.linspace(1, 0, 7))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    cond = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    noise = rng.normal(size=x.shape).astype(np.float32)
+
+    ls, lsn = float(table[2]), float(table[3])
+    nx, x0 = d.p_sample_tiles({}, jnp.asarray(x), jnp.asarray(cond), None,
+                              jnp.asarray(noise), ls, lsn,
+                              GUIDANCE_NONE, 1.0, is_last=False)
+
+    # hand-computed (paper formulas, float64)
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    eps = 0.3 * x + 0.5 * cond + 0.01 * ls
+    alpha, sigma = np.sqrt(sig(ls)), np.sqrt(sig(-ls))
+    alpha_n = np.sqrt(sig(lsn))
+    c = -np.expm1(ls - lsn)
+    x0_ref = np.clip((x - sigma * eps) / alpha, -1, 1)
+    mean = alpha_n * (x * (1 - c) / alpha + c * x0_ref)
+    var = sig(-lsn) * c
+    np.testing.assert_allclose(np.asarray(x0), x0_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(nx), mean + np.sqrt(var) * noise, atol=2e-5)
+
+    # is_last drops the noise
+    nx_last, _ = d.p_sample_tiles({}, jnp.asarray(x), jnp.asarray(cond), None,
+                                  jnp.asarray(noise), ls, lsn,
+                                  GUIDANCE_NONE, 1.0, is_last=True)
+    np.testing.assert_allclose(np.asarray(nx_last), mean, atol=2e-5)
+
+
+def test_scan_equals_eager_loop():
+    """sample() (lax.scan) must equal a hand-rolled eager Python loop with
+    the identical RNG schedule."""
+    d = make_diff(num_sample_steps=5)
+    rng = jax.random.PRNGKey(7)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    got = d.sample({}, rng, cond01)
+
+    # eager re-run
+    n = 5
+    table = jnp.asarray(d.log_snr_table(n))
+    cond = cond01 * 2 - 1
+    loop_rng, init_key = jax.random.split(rng)
+    img = jax.random.normal(init_key, cond.shape, jnp.float32)
+    for i in range(n):
+        key = jax.random.fold_in(loop_rng, i)
+        noise = jax.random.normal(key, img.shape, jnp.float32)
+        img, _ = d.p_sample_tiles({}, img, cond, None, noise,
+                                  table[i], table[i + 1], GUIDANCE_NONE, 1.0,
+                                  is_last=(i == n - 1))
+    want = (jnp.clip(img, -1, 1) + 1) * 0.5
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_cfg_scale_one_identity():
+    """Fused doubled-batch CFG at effective scale 1.0 == single-call path.
+    (cond_scale=2 but warmup covers all steps -> scale 1 everywhere)."""
+    d = make_diff(num_sample_steps=4)
+    rng = jax.random.PRNGKey(3)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 3))
+    base = d.sample({}, rng, cond01, cond_scale=1.0)
+    warm = d.sample({}, rng, cond01, cond_scale=2.0, guidance_start_steps=4)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(warm), atol=1e-5)
+    # and scale != 1 actually changes the output
+    guided = d.sample({}, rng, cond01, cond_scale=2.0)
+    assert np.abs(np.asarray(guided) - np.asarray(base)).max() > 1e-4
+
+
+def test_cfg_merge_math():
+    """null + (cond - null) * s for the fake net, checked directly."""
+    d = make_diff(num_sample_steps=2)
+    rng = jax.random.PRNGKey(5)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(4), (1, 8, 8, 3))
+    lab = jnp.asarray([1])
+    # class-CFG with scale 3: fake net label term: cond 0.2*(1+1)=0.4, null 0.
+    # merged eps = null + (cond-null)*3 -> label contribution 1.2
+    out_s3 = d.sample({}, rng, cond01, class_label=lab, class_cond_scale=3.0,
+                      num_sample_steps=1)
+    # emulate: a net whose label term is tripled, no CFG
+    class Fake3(FakeNet):
+        def apply(self, params, x, time, cond=None, class_label=None, class_mask=None):
+            out = 0.3 * x + 0.01 * time[:, None, None, None]
+            if cond is not None:
+                out = out + 0.5 * cond
+            if class_label is not None:
+                out = out + 3 * 0.2 * (1.0 + class_label.astype(jnp.float32))[:, None, None, None]
+            return out
+    d3 = make_diff(net=Fake3(), num_sample_steps=2)
+    want = d3.sample({}, rng, cond01, class_label=lab, num_sample_steps=1)
+    np.testing.assert_allclose(np.asarray(out_s3), np.asarray(want), atol=1e-5)
+
+
+def test_dual_cfg_raises():
+    d = make_diff()
+    with pytest.raises(NotImplementedError):
+        resolve_guidance_mode(2.0, 2.0)
+    with pytest.raises(NotImplementedError):
+        d.sample({}, jax.random.PRNGKey(0),
+                 jnp.zeros((1, 8, 8, 3)), class_label=jnp.asarray([0]),
+                 cond_scale=2.0, class_cond_scale=2.0)
+
+
+def test_tiled_small_image():
+    """<=256 input: single tile both grids, no margin; output crops back."""
+    d = make_diff(num_sample_steps=4)
+    rng = jax.random.PRNGKey(11)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(12), (1, 40, 56, 3))
+    out = d.tiled_sample({}, rng, cond01, tile_size=64, batch_size=4)
+    assert out.shape == (1, 40, 56, 3)
+    o = np.asarray(out)
+    assert np.all(o >= 0) and np.all(o <= 1)
+    # deterministic
+    out2 = d.tiled_sample({}, rng, cond01, tile_size=64, batch_size=4)
+    np.testing.assert_array_equal(np.asarray(out2), o)
+
+
+def test_tiled_chunk_invariance():
+    """Results must be identical whatever the tile minibatch size."""
+    d = make_diff(num_sample_steps=4)
+    rng = jax.random.PRNGKey(13)
+    # 80x100 with tile 32 -> padded 160x192 -> 5x6=30 / 4x5=20 tiles
+    cond01 = jax.random.uniform(jax.random.PRNGKey(14), (1, 80, 100, 3))
+    out1 = d.tiled_sample({}, rng, cond01, tile_size=32, batch_size=1)
+    out8 = d.tiled_sample({}, rng, cond01, tile_size=32, batch_size=8)
+    out30 = d.tiled_sample({}, rng, cond01, tile_size=32, batch_size=64)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out8), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out30), atol=1e-5)
+
+
+def test_tiled_with_class_and_cfg():
+    d = make_diff(num_sample_steps=4)
+    rng = jax.random.PRNGKey(15)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(16), (1, 80, 100, 3))
+    out = d.tiled_sample({}, rng, cond01, class_label=jnp.asarray([1]),
+                         tile_size=32, batch_size=8, class_cond_scale=2.0,
+                         class_guidance_start_steps=1)
+    assert out.shape == (1, 80, 100, 3)
+    out_l0 = d.tiled_sample({}, rng, cond01, class_label=jnp.asarray([0]),
+                            tile_size=32, batch_size=8, class_cond_scale=2.0,
+                            class_guidance_start_steps=1)
+    assert np.abs(np.asarray(out) - np.asarray(out_l0)).max() > 1e-4
+
+
+def test_tiled_generation_start_steps():
+    d = make_diff(num_sample_steps=4)
+    rng = jax.random.PRNGKey(17)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(18), (1, 40, 40, 3))
+    out = d.tiled_sample({}, rng, cond01, tile_size=64, generation_start_steps=2)
+    assert out.shape == (1, 40, 40, 3)
+
+
+def test_trajectory_capture():
+    d = make_diff(num_sample_steps=3)
+    rng = jax.random.PRNGKey(19)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(20), (1, 16, 16, 3))
+    out, traj = d.sample({}, rng, cond01, capture_trajectory=True)
+    assert traj.shape == (3, 1, 16, 16, 3)
+
+
+def test_q_sample_identity():
+    d = make_diff()
+    x0 = jnp.ones((2, 4, 4, 3))
+    noise = jnp.zeros_like(x0)
+    xt, log_snr = d.q_sample(x0, jnp.asarray([0.0, 1.0]), noise)
+    # t=0: alpha ~ 1 => xt ~ x0 ; t=1: alpha ~ 0 => xt ~ 0
+    a0 = float(np.sqrt(1 / (1 + np.exp(-9.21029))))
+    np.testing.assert_allclose(np.asarray(xt[0]), a0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(xt[1]), 0.0, atol=0.01)
+
+
+def test_loss_runs_and_cond_drop():
+    d = make_diff(cond_drop_prob=1.0)  # always dropped
+    rng = jax.random.PRNGKey(21)
+    img = jax.random.uniform(jax.random.PRNGKey(22), (2, 16, 16, 3))
+    cond = jax.random.uniform(jax.random.PRNGKey(23), (2, 16, 16, 3))
+    l_dropped = d.loss({}, rng, img, cond)
+    # identical to passing a zero condition in [-1,1] space, i.e. cond01=0.5
+    l_zero = d.loss({}, rng, img, jnp.full_like(cond, 0.5))
+    np.testing.assert_allclose(float(l_dropped), float(l_zero), rtol=1e-6)
+    assert np.isfinite(float(l_dropped))
+
+    d2 = make_diff(cond_drop_prob=0.0)
+    l_kept = d2.loss({}, rng, img, cond)
+    assert abs(float(l_kept) - float(l_dropped)) > 1e-6
+
+
+def test_loss_with_real_unet_grads():
+    """End-to-end: tiny real U-Net, loss is differentiable and finite."""
+    net = SRUnet(dim=8, dim_mults=(1, 2), full_attn=(False, True),
+                 learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                 num_classes=3)
+    d = ContinuousDiffusion(net=net, image_size=16, num_sample_steps=2,
+                            cond_drop_prob=0.1, class_cond_drop_prob=0.1)
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    lab = jnp.asarray([0, 2])
+    params = net.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, 16, 3)),
+                      jnp.zeros((1,)), class_label=jnp.asarray([0]))
+    loss, grads = jax.value_and_grad(
+        lambda p: d.loss(p, rng, img, cond, lab))(params)
+    assert np.isfinite(float(loss))
+    gnorm = jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(grads)))
+    assert float(gnorm) > 0 and np.isfinite(float(gnorm))
