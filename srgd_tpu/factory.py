@@ -1,0 +1,140 @@
+"""Model factory: Config -> (diffusion wrapper, net, params).
+
+Mirrors ``get_model`` (/root/reference/model.py:3500-3666): parses the CSV
+dim_mults/full_attn strings, builds the U-Net and the family wrapper selected
+by ``conf.model``, enforces the same learned-sinusoidal consistency asserts,
+and loads checkpoint weights (the reference loads the EMA shadow's state dict;
+our converter consumes exactly that).
+
+Divergences (documented): the reference's unconditional-net path crashes on
+phantom free-u kwargs (SURVEY.md section 2.13.1) — fixed here; checkpoints may
+also be native orbax directories, not just torch .pth files.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srgd_tpu.config import Config
+from srgd_tpu.diffusion.continuous import ContinuousDiffusion
+from srgd_tpu.nn.unet import SRUnet, build_unet_from_config
+
+logger = logging.getLogger('srgd_tpu')
+
+CONTINUOUS_MODELS = ('continuous', 'conditional_continuous')
+GAUSSIAN_MODELS = ('gaussian', 'conditional_gaussian')
+ELUCIDATED_MODELS = ('elucidated', 'conditional_elucidated')
+
+
+def build_wrapper(conf: Config, net: SRUnet):
+    """Dispatch conf.model to a diffusion family wrapper (model.py:3534-3654)."""
+    is_conditional = 'conditional' in conf.model
+
+    if conf.model in CONTINUOUS_MODELS:
+        assert conf.learned_sinusoidal_cond, \
+            'continuous family requires learned_sinusoidal_cond (model.py:3617,3635)'
+        conf.use_dpmpp_solver = False  # parity: model.py:3618, 3636
+        if conf.noise_schedule == 'learned':
+            raise NotImplementedError(
+                'learned noise schedule not yet implemented in srgd-tpu')
+        return ContinuousDiffusion(
+            net=net,
+            image_size=conf.image_size,
+            noise_schedule=conf.noise_schedule,
+            num_sample_steps=conf.num_sample_steps,
+            clip_sample_denoised=conf.clip_sample_denoised,
+            min_snr_loss_weight=conf.min_snr_loss_weight,
+            min_snr_gamma=conf.min_snr_gamma,
+            cond_drop_prob=conf.cond_drop_prob,
+            class_cond_drop_prob=conf.class_cond_drop_prob if is_conditional else 0.0,
+            loss_type=conf.loss_type,
+        )
+
+    if conf.model in GAUSSIAN_MODELS:
+        assert not conf.learned_sinusoidal_cond, \
+            'gaussian family requires learned_sinusoidal_cond=false (model.py:3535,3553)'
+        conf.use_dpmpp_solver = False  # parity: model.py:3536, 3554
+        from srgd_tpu.diffusion.gaussian import GaussianDiffusion
+        return GaussianDiffusion(
+            net=net,
+            image_size=conf.image_size,
+            timesteps=conf.timesteps,
+            sampling_timesteps=conf.sampling_timesteps,
+            objective=conf.objective,
+            beta_schedule=conf.beta_schedule,
+            offset_noise_strength=conf.offset_noise_strength,
+            min_snr_loss_weight=conf.min_snr_loss_weight,
+            min_snr_gamma=conf.min_snr_gamma,
+            cond_drop_prob=conf.cond_drop_prob,
+            class_cond_drop_prob=conf.class_cond_drop_prob if is_conditional else 0.0,
+            loss_type=conf.loss_type,
+        )
+
+    if conf.model in ELUCIDATED_MODELS:
+        assert conf.learned_sinusoidal_cond, \
+            'elucidated family requires learned_sinusoidal_cond (model.py:3572,3594)'
+        from srgd_tpu.diffusion.elucidated import ElucidatedDiffusion
+        from srgd_tpu.diffusion.schedules import EDMParams
+        return ElucidatedDiffusion(
+            net=net,
+            image_size=conf.image_size,
+            num_sample_steps=conf.num_sample_steps,
+            edm=EDMParams(
+                sigma_min=conf.sigma_min, sigma_max=conf.sigma_max,
+                sigma_data=conf.sigma_data, rho=conf.rho,
+                P_mean=conf.P_mean, P_std=conf.P_std,
+                S_churn=conf.S_churn, S_tmin=conf.S_tmin,
+                S_tmax=conf.S_tmax, S_noise=conf.S_noise),
+            cond_drop_prob=conf.cond_drop_prob,
+            class_cond_drop_prob=conf.class_cond_drop_prob if is_conditional else 0.0,
+            use_dpmpp_solver=conf.use_dpmpp_solver,
+            loss_type=conf.loss_type,
+        )
+
+    raise NotImplementedError(conf.model)
+
+
+def load_params(conf: Config, net: SRUnet, ckpt_path: Optional[str] = None,
+                rng: Optional[jax.Array] = None):
+    """Load checkpoint params (torch .pth or orbax dir) or randomly init."""
+    ckpt_path = ckpt_path if ckpt_path is not None else conf.ckpt_path
+    if ckpt_path:
+        if os.path.isdir(ckpt_path):
+            from srgd_tpu.checkpoint.io import restore_params
+            params = restore_params(ckpt_path)
+            logger.info('loaded orbax params from %s', ckpt_path)
+        else:
+            from srgd_tpu.checkpoint.torch_convert import convert_checkpoint
+            params, unmatched, extras = convert_checkpoint(
+                ckpt_path, num_stages=len(conf.ddpm_unet_dim_mults.split(',')),
+                strict=conf.load_strict)
+            logger.info('loaded torch ema_model weights from %s '
+                        '(unmatched: %s, extras: %d)',
+                        ckpt_path, unmatched, len(extras))
+    else:
+        rng = rng if rng is not None else jax.random.PRNGKey(conf.seed)
+        kwargs = {}
+        if 'conditional' in conf.model:
+            kwargs['class_label'] = jnp.zeros((1,), jnp.int32)
+        params = net.init(rng, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)), **kwargs)
+        logger.info('randomly initialized params (no ckpt_path)')
+
+    if conf.param_dtype == 'bfloat16':
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    return params
+
+
+def get_model(conf: Config, ckpt_path: Optional[str] = None):
+    """Build (wrapper, net, params) from a Config. The reference returns a
+    timm EMA holder; inference uses the EMA weights directly (model.py:3657,
+    inference.py:156) which is what the converted params are."""
+    net = build_unet_from_config(conf)
+    wrapper = build_wrapper(conf, net)
+    params = load_params(conf, net, ckpt_path)
+    return wrapper, net, params

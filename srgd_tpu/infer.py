@@ -1,0 +1,207 @@
+"""Inference CLI — drop-in surface parity with the reference's inference.py.
+
+Usage (parity: /root/reference/inference.py:21-44, inference_sample.sh):
+
+    python -m srgd_tpu.infer -c conf.yaml -m ckpt.pth \
+        --input_dir IN --output_dir OUT [--test_label 0 --class_cond_scale 1.0
+        --seed 71 --num_sample_steps 250 ...]
+
+Behavioral parity kept: per-image re-seeding (inference.py:81), x4 bicubic
+PIL pre-upscale (inference.py:71-73), skip-existing resume by output filename
+(inference.py:126-127), unreadable-input skip (inference.py:101-106), the
+'.png'->'_out.png' rename quirk (inference.py:123), 'lanczos' silently mapping
+to bicubic (inference.py:66-69), x4 output-shape assert (inference.py:96-97),
+and the accepted-but-unused --backend flag (inference.py:42).
+
+TPU-native additions: --precision fp32/bf16, --matmul_precision, and jitted
+samplers cached per canvas shape so a batch of same-sized images compiles once.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+logger = logging.getLogger('srgd_tpu')
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('-c', '--conf', required=True, help='Path to config file')
+    p.add_argument('-m', '--ckpt_path', type=str, required=True)
+    p.add_argument('--input_dir', type=str, required=True)
+    p.add_argument('--output_dir', type=str, required=True)
+    p.add_argument('--batch_size', type=int, default=8)
+    p.add_argument('--num_sample_steps', type=int, default=250)
+    p.add_argument('--interpolation', type=str, default='bicubic')
+    p.add_argument('--cond_scale', type=float, default=1.0)
+    p.add_argument('--class_cond_scale', type=float, default=1.0)
+    p.add_argument('--guidance_start_steps', type=int, default=0)
+    p.add_argument('--class_guidance_start_steps', type=int, default=0)
+    p.add_argument('--generation_start_steps', type=int, default=0)
+    p.add_argument('--start_index', type=int, default=0)
+    p.add_argument('--end_index', type=int, default=None)
+    p.add_argument('--test_label', type=int, default=None)
+    p.add_argument('--no_amp', dest='amp', action='store_false')
+    p.add_argument('--no_dpmpp_solver', dest='use_dpmpp_solver', action='store_false')
+    p.add_argument('--seed', type=int, default=71)
+    p.add_argument('--backend', type=str, default='ddp')  # accepted, unused (parity)
+    # TPU-native additions
+    p.add_argument('--precision', type=str, default='fp32', choices=['fp32', 'bf16'])
+    p.add_argument('--matmul_precision', type=str, default='default',
+                   choices=['default', 'high', 'highest'])
+    p.add_argument('--tile_size', type=int, default=256)
+    return p.parse_args(argv)
+
+
+def try_open_image(image_path):
+    """Parity: inference.py:101-106."""
+    from PIL import Image
+    try:
+        return Image.open(image_path).convert('RGB')
+    except (IOError, SyntaxError):
+        return None
+
+
+def upscale_bicubic(image, scale: int = 4, interpolation: str = 'bicubic'):
+    """PIL x{scale} pre-upscale; 'lanczos' maps to bicubic like the reference
+    (inference.py:66-73)."""
+    from PIL import Image
+    width, height = image.size
+    # both branches bicubic — reference quirk kept
+    resample = Image.BICUBIC
+    return image.resize((width * scale, height * scale), resample=resample)
+
+
+class SamplerCache:
+    """Jitted tiled samplers keyed by canvas shape (+ step count)."""
+
+    def __init__(self, wrapper, params, opts):
+        import jax
+        self.jax = jax
+        self.wrapper = wrapper
+        self.params = params
+        self.opts = opts
+        self._cache = {}
+
+    def sample(self, cond_np: np.ndarray, label, seed: int) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+        key = (cond_np.shape, self.opts['num_sample_steps'])
+        if key not in self._cache:
+            o = self.opts
+            fn = partial(self.wrapper.tiled_sample,
+                         batch_size=o['batch_size'], tile_size=o['tile_size'],
+                         cond_scale=o['cond_scale'],
+                         guidance_start_steps=o['guidance_start_steps'],
+                         class_cond_scale=o['class_cond_scale'],
+                         class_guidance_start_steps=o['class_guidance_start_steps'],
+                         generation_start_steps=o['generation_start_steps'],
+                         num_sample_steps=o['num_sample_steps'])
+            if label is None:
+                jitted = jax.jit(lambda p, r, c: fn(p, r, c))
+            else:
+                jitted = jax.jit(lambda p, r, c, l: fn(p, r, c, l))
+            self._cache[key] = jitted
+        jitted = self._cache[key]
+        rng = jax.random.PRNGKey(seed)  # re-seeded per image (inference.py:81)
+        cond = jnp.asarray(cond_np)
+        if label is None:
+            out = jitted(self.params, rng, cond)
+        else:
+            out = jitted(self.params, rng, cond, jnp.asarray([label]))
+        return np.asarray(out)
+
+
+def sr_target_image(image, sampler: SamplerCache, scale: int = 4,
+                    test_label=None, interpolation: str = 'bicubic',
+                    seed: int = 71):
+    """Super-resolve one PIL image. Parity: inference.py:59-98."""
+    from PIL import Image
+    width, height = image.size
+    upscaled = upscale_bicubic(image, scale, interpolation)
+    cond = np.asarray(upscaled, dtype=np.float32)[None] / 255.0  # (1,H,W,3) [0,1]
+
+    out = sampler.sample(cond, test_label, seed)[0]  # (H,W,3) in [0,1]
+    arr = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+    sr_img = Image.fromarray(arr)
+
+    new_width, new_height = sr_img.size
+    assert width * 4 == new_width
+    assert height * 4 == new_height
+    return sr_img
+
+
+def batch_sr_target_images(input_dir, output_dir, sampler: SamplerCache,
+                           scale=4, test_label=None, start_index=0,
+                           end_index=None, interpolation='bicubic', seed=71):
+    """Parity: inference.py:108-142 (sorted glob, skip-existing, rename quirk)."""
+    print(f'save images at: {output_dir}')
+    os.makedirs(output_dir, exist_ok=True)
+    image_list = sorted(glob.glob(f'{input_dir}/*'))[start_index:end_index]
+
+    for filename in image_list:
+        save_filename = os.path.basename(filename).replace('.png', '_out.png')
+        save_path = os.path.join(output_dir, save_filename)
+        if os.path.exists(save_path):
+            print('skip')
+            continue
+        image = try_open_image(filename)
+        if image is None:
+            print('Invalid image or unable to open image:', filename)
+            continue
+        t0 = time.time()
+        sr_img = sr_target_image(image, sampler, scale=scale,
+                                 test_label=test_label,
+                                 interpolation=interpolation, seed=seed)
+        sr_img.save(save_path)
+        mpix = sr_img.size[0] * sr_img.size[1] / 1e6
+        logger.info('%s -> %s  (%.2f MPix in %.2fs)', filename, save_path,
+                    mpix, time.time() - t0)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format='%(asctime)s %(name)s %(levelname)s %(message)s')
+    args = parse_args(argv)
+
+    from srgd_tpu.config import load_config
+    conf = load_config(args.conf)
+    conf.num_sample_steps = args.num_sample_steps   # parity: inference.py:148
+    conf.ckpt_path = args.ckpt_path                 # parity: inference.py:149
+    conf.use_dpmpp_solver = args.use_dpmpp_solver
+    conf.compute_dtype = {'fp32': 'float32', 'bf16': 'bfloat16'}[args.precision]
+    conf.tile_size = args.tile_size
+
+    import jax
+    if args.matmul_precision != 'default':
+        jax.config.update('jax_default_matmul_precision', args.matmul_precision)
+
+    from srgd_tpu.factory import get_model
+    wrapper, net, params = get_model(conf)
+
+    opts = dict(batch_size=args.batch_size, tile_size=args.tile_size,
+                cond_scale=args.cond_scale,
+                guidance_start_steps=args.guidance_start_steps,
+                class_cond_scale=args.class_cond_scale,
+                class_guidance_start_steps=args.class_guidance_start_steps,
+                generation_start_steps=args.generation_start_steps,
+                num_sample_steps=args.num_sample_steps)
+    sampler = SamplerCache(wrapper, params, opts)
+
+    print(args)
+    batch_sr_target_images(args.input_dir, args.output_dir, sampler,
+                           scale=4, test_label=args.test_label,
+                           start_index=args.start_index, end_index=args.end_index,
+                           interpolation=args.interpolation, seed=args.seed)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,88 @@
+"""End-to-end CLI tests: tiny config, random init, real PNG in -> 4x PNG out,
+resume-by-filename, and the reference's rename quirk."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+TINY_YAML = """
+model: conditional_continuous
+noise_schedule: linear
+num_sample_steps: 2
+unet_dim: 8
+ddpm_unet_dim_mults: '1,2'
+full_attn: 'False,True'
+learned_sinusoidal_cond: true
+learned_sinusoidal_dim: 4
+num_classes: 3
+image_size: 64
+"""
+
+
+@pytest.fixture
+def setup_dirs(tmp_path):
+    conf = tmp_path / 'tiny.yaml'
+    conf.write_text(TINY_YAML)
+    in_dir = tmp_path / 'in'
+    out_dir = tmp_path / 'out'
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(8, 12, 3), dtype=np.uint8)
+    Image.fromarray(img).save(in_dir / 'a.png')
+    return conf, in_dir, out_dir
+
+
+def _run(conf, in_dir, out_dir, extra=()):
+    from srgd_tpu.infer import main
+    main(['-c', str(conf), '-m', '', '--input_dir', str(in_dir),
+          '--output_dir', str(out_dir), '--num_sample_steps', '2',
+          '--tile_size', '64', '--test_label', '0', '--seed', '71',
+          *extra])
+
+
+def test_cli_end_to_end(setup_dirs, capsys):
+    conf, in_dir, out_dir = setup_dirs
+    _run(conf, in_dir, out_dir)
+    out_path = out_dir / 'a_out.png'
+    assert out_path.exists()
+    out = Image.open(out_path)
+    assert out.size == (12 * 4, 8 * 4)
+
+    # determinism: rerun into a fresh dir gives identical bytes
+    out2_dir = out_dir.parent / 'out2'
+    _run(conf, in_dir, out2_dir)
+    a = np.asarray(Image.open(out_path))
+    b = np.asarray(Image.open(out2_dir / 'a_out.png'))
+    np.testing.assert_array_equal(a, b)
+
+    # resume: rerun skips the existing output
+    _run(conf, in_dir, out_dir)
+    assert 'skip' in capsys.readouterr().out
+
+
+def test_cli_jpg_rename_quirk(setup_dirs):
+    """Reference only rewrites '.png' suffixes (inference.py:123) — a .jpg
+    input saves under its original name. Parity kept."""
+    conf, in_dir, out_dir = setup_dirs
+    os.remove(in_dir / 'a.png')
+    rng = np.random.default_rng(1)
+    Image.fromarray(rng.integers(0, 255, size=(8, 8, 3), dtype=np.uint8)).save(
+        in_dir / 'b.jpg')
+    _run(conf, in_dir, out_dir)
+    assert (out_dir / 'b.jpg').exists()
+
+
+def test_cli_unreadable_input_skipped(setup_dirs, capsys):
+    conf, in_dir, out_dir = setup_dirs
+    (in_dir / 'broken.png').write_bytes(b'not an image')
+    _run(conf, in_dir, out_dir)
+    assert 'Invalid image' in capsys.readouterr().out
+    assert (out_dir / 'a_out.png').exists()
+
+
+def test_cli_class_cfg(setup_dirs):
+    conf, in_dir, out_dir = setup_dirs
+    _run(conf, in_dir, out_dir, extra=['--class_cond_scale', '1.5'])
+    assert (out_dir / 'a_out.png').exists()
