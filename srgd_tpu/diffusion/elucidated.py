@@ -1,0 +1,387 @@
+"""EDM (Karras "elucidated") diffusion family.
+
+Reimplements ElucidatedDiffusionSR / ConditionalElucidatedDiffusionSR
+(/root/reference/model.py:1731-2600): sigma-preconditioned denoiser forward,
+stochastic Heun sampler ("sample_org"), DPM-Solver++(2M), the tiled Heun
+sampler with alternating grids, and the EDM training loss.
+
+Scan structure: the Karras schedule ends at sigma = 0, so the final step is
+Euler-only (the reference's ``if sigma_next != 0`` branch, model.py:1920-1923)
+— we scan the first N-1 Heun steps and unroll the terminal Euler step, rather
+than masking a wasted second net call inside the scan.
+
+Documented divergence from the reference: training cond-dropout uses a uniform
+draw (P(drop) = p). The reference's EDM forward gates with ``torch.randn(1) < p``
+(model.py:2037, 2577-2582), making the actual drop probability ~0.54 for
+p = 0.1 — a known defect (SURVEY.md section 2.13.4) in an unreleased code path.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srgd_tpu.diffusion.base import (
+    GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, chunked_map,
+    guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
+    resolve_guidance_mode, unnormalize_to_zero_to_one,
+)
+from srgd_tpu.diffusion.schedules import EDMParams
+from srgd_tpu.tiling import (
+    extract_tiles, make_geometry, reflect_pad, scatter_tiles, zero_margin,
+)
+
+
+@dataclass(eq=False)
+class ElucidatedDiffusion:
+    net: Any
+    image_size: int
+    channels: int = 3
+    num_sample_steps: int = 32
+    edm: EDMParams = field(default_factory=EDMParams)
+    cond_drop_prob: float = 0.0
+    class_cond_drop_prob: float = 0.0
+    use_dpmpp_solver: bool = False
+    loss_type: str = 'l2'
+
+    # ------------------------------------------------------------------
+    def net_apply(self, params, x, time_b, cond, class_label, class_mask):
+        return self.net.apply(params, x, time_b, cond=cond,
+                              class_label=class_label, class_mask=class_mask)
+
+    def precond_denoise(self, params, x, sigma, cond, class_label, mode, scale,
+                        clamp=False):
+        """Preconditioned network forward with CFG merge.
+
+        Parity: model.py:2132-2183. The CFG lerp happens on the FULL
+        preconditioned output (c_skip*x + c_out*net), which equals lerping the
+        net outputs since c_skip*x is common — we lerp the full outputs exactly
+        like the reference. sigma: traced scalar.
+        """
+        e = self.edm
+        b = x.shape[0]
+        c_in, c_skip, c_out = e.c_in(sigma), e.c_skip(sigma), e.c_out(sigma)
+        c_noise = e.c_noise(sigma)
+        time_b = jnp.full((b,), c_noise, dtype=jnp.float32)
+
+        def apply_fn(params, xs, ts, cs, lb, mask):
+            net_out = self.net_apply(params, c_in * xs, ts, cs, lb, mask)
+            return c_skip * xs + c_out * net_out
+
+        out = guided_denoise(apply_fn, params, x, time_b, cond, class_label,
+                             mode, scale)
+        if clamp:
+            out = jnp.clip(out, -1.0, 1.0)
+        return out
+
+    # ------------------------------------------------------------------
+    def sigmas_gammas(self, n_steps: int):
+        sig = self.edm.sample_schedule(n_steps)      # (N+1,), trailing 0
+        gam = self.edm.gammas(sig, n_steps)
+        return sig, gam
+
+    def noised_at_step(self, key, x, sigmas, step: int):
+        """x + sigmas[step]*noise (get_noised_images, model.py:2185-2194)."""
+        return x + sigmas[step] * jax.random.normal(key, x.shape, jnp.float32)
+
+    # ------------------------------------------------------------------
+    # Heun stochastic sampler ("sample_org"). Parity: model.py:2211-2306.
+    # ------------------------------------------------------------------
+    def _heun_step(self, params, x, key, sigma, sigma_next, gamma, cond,
+                   class_label, mode, scale, clamp, second_order: bool):
+        e = self.edm
+        eps = e.S_noise * jax.random.normal(key, x.shape, jnp.float32)
+        sigma_hat = sigma + gamma * sigma
+        x_hat = x + jnp.sqrt(jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0)) * eps
+
+        den = self.precond_denoise(params, x_hat, sigma_hat, cond, class_label,
+                                   mode, scale, clamp)
+        d = (x_hat - den) / sigma_hat
+        x_next = x_hat + (sigma_next - sigma_hat) * d
+        if second_order:
+            den2 = self.precond_denoise(params, x_next, sigma_next, cond,
+                                        class_label, mode, scale, clamp)
+            d2 = (x_next - den2) / sigma_next
+            x_next = x_hat + 0.5 * (sigma_next - sigma_hat) * (d + d2)
+        return x_next
+
+    def sample_org(self, params, rng, condition_x, class_label=None, *,
+                   cond_scale=1.0, guidance_start_steps=0, class_cond_scale=1.0,
+                   class_guidance_start_steps=0, generation_start_steps=0,
+                   num_sample_steps=None, clamp=True, zero_init=False,
+                   capture_trajectory=False):
+        n = num_sample_steps or self.num_sample_steps
+        mode = resolve_guidance_mode(cond_scale, class_cond_scale)
+        cond = normalize_to_neg_one_to_one(condition_x)
+        sig_np, gam_np = self.sigmas_gammas(n)
+        sig, gam = jnp.asarray(sig_np), jnp.asarray(gam_np)
+
+        rng, init_key = jax.random.split(rng)
+        if generation_start_steps > 0:
+            img = self.noised_at_step(init_key, cond, sig, generation_start_steps)
+        elif zero_init:
+            img = jnp.zeros_like(cond)
+        else:
+            img = sig[0] * jax.random.normal(init_key, cond.shape, jnp.float32)
+
+        def scale_at(i):
+            cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
+            ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
+            return cs if mode == GUIDANCE_COND else ccs
+
+        def step(img, i):
+            key = jax.random.fold_in(rng, i)
+            img = self._heun_step(params, img, key, sig[i], sig[i + 1], gam[i],
+                                  cond, class_label, mode, scale_at(i), clamp,
+                                  second_order=True)
+            return img, (img if capture_trajectory else None)
+
+        # steps 0..n-2 are Heun (sigma_next > 0); final step n-1 is Euler-only
+        start = generation_start_steps
+        traj = None
+        if start < n - 1:
+            img, traj = jax.lax.scan(step, img, jnp.arange(start, n - 1))
+        i_last = n - 1
+        key = jax.random.fold_in(rng, i_last)
+        img = self._heun_step(params, img, key, sig[i_last], sig[i_last + 1],
+                              gam[i_last], cond, class_label, mode,
+                              scale_at(i_last), clamp, second_order=False)
+
+        out = unnormalize_to_zero_to_one(jnp.clip(img, -1.0, 1.0))
+        if capture_trajectory:
+            tail = out[None] if traj is None else jnp.concatenate(
+                [traj, img[None]], axis=0)
+            return out, tail
+        return out
+
+    # ------------------------------------------------------------------
+    # DPM-Solver++(2M). Parity: model.py:2478-2557.
+    # ------------------------------------------------------------------
+    def sample_using_dpmpp(self, params, rng, condition_x, class_label=None, *,
+                           cond_scale=1.0, guidance_start_steps=0,
+                           class_cond_scale=1.0, class_guidance_start_steps=0,
+                           generation_start_steps=0, num_sample_steps=None,
+                           clamp=True, zero_init=False,
+                           capture_trajectory=False):
+        n = num_sample_steps or self.num_sample_steps
+        mode = resolve_guidance_mode(cond_scale, class_cond_scale)
+        cond = normalize_to_neg_one_to_one(condition_x)
+        sig_np, _ = self.sigmas_gammas(n)
+        sig = jnp.asarray(sig_np)
+
+        rng, init_key = jax.random.split(rng)
+        if generation_start_steps > 0:
+            img = self.noised_at_step(init_key, cond, sig, generation_start_steps)
+        elif zero_init:
+            img = jnp.zeros_like(cond)
+        else:
+            img = sig[0] * jax.random.normal(init_key, cond.shape, jnp.float32)
+
+        t_fn = lambda s: -jnp.log(s)
+
+        def step(carry, i):
+            img, old_denoised = carry
+            cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
+            ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
+            scale = cs if mode == GUIDANCE_COND else ccs
+            denoised = self.precond_denoise(params, img, sig[i], cond,
+                                            class_label, mode, scale, clamp)
+            t, t_next = t_fn(sig[i]), t_fn(jnp.maximum(sig[i + 1], 1e-20))
+            h = t_next - t
+            prev = jnp.maximum(i - 1, 0)
+            h_last = t - t_fn(sig[prev])
+            r = h_last / h
+            gamma = -1.0 / (2.0 * r)
+            denoised_d2 = (1 - gamma) * denoised + gamma * old_denoised
+            use_plain = jnp.logical_or(i == generation_start_steps,
+                                       sig[i + 1] == 0)
+            denoised_d = jnp.where(use_plain, denoised, denoised_d2)
+            # sigma_fn(t_next)/sigma_fn(t) = sig[i+1]/sig[i]
+            img = (sig[i + 1] / sig[i]) * img - jnp.expm1(-h) * denoised_d
+            return (img, denoised), (img if capture_trajectory else None)
+
+        idxs = jnp.arange(generation_start_steps, n)
+        (img, _), traj = jax.lax.scan(step, (img, jnp.zeros_like(img)), idxs)
+        out = unnormalize_to_zero_to_one(jnp.clip(img, -1.0, 1.0))
+        return (out, traj) if capture_trajectory else out
+
+    # ------------------------------------------------------------------
+    def sample(self, params, rng, condition_x, class_label=None, **kw):
+        """Dispatch DPM++ vs Heun (parity: model.py:2196-2209)."""
+        if self.use_dpmpp_solver:
+            return self.sample_using_dpmpp(params, rng, condition_x,
+                                           class_label, **kw)
+        return self.sample_org(params, rng, condition_x, class_label, **kw)
+
+    # ------------------------------------------------------------------
+    # Tiled Heun sampler. Parity: model.py:2308-2475.
+    # ------------------------------------------------------------------
+    def tiled_sample(self, params, rng, condition_x, class_label=None, *,
+                     batch_size: int = 4, tile_size: int = 256,
+                     tile_stride: Optional[int] = None,
+                     cond_scale=1.0, guidance_start_steps=0,
+                     class_cond_scale=1.0, class_guidance_start_steps=0,
+                     generation_start_steps=0, num_sample_steps=None,
+                     clamp=True, zero_init=False, start_white_noise=True,
+                     capture_trajectory=False):
+        n = num_sample_steps or self.num_sample_steps
+        b, h, w, ch = condition_x.shape
+        geom = make_geometry(h, w, tile_size, tile_stride)
+        mode = resolve_guidance_mode(cond_scale, class_cond_scale)
+        sig_np, gam_np = self.sigmas_gammas(n)
+        sig, gam = jnp.asarray(sig_np), jnp.asarray(gam_np)
+
+        cond = normalize_to_neg_one_to_one(condition_x)
+        cond_padded = reflect_pad(cond, geom.pad)
+        canvas_shape = cond_padded.shape
+
+        rng, init_key = jax.random.split(rng)
+        if generation_start_steps > 0:
+            img = self.noised_at_step(init_key, cond_padded, sig,
+                                      generation_start_steps)
+        elif zero_init:
+            img = jnp.zeros_like(cond_padded)
+        else:
+            img = sig[0] * jax.random.normal(init_key, canvas_shape, jnp.float32)
+
+        cond_zeroed = zero_margin(cond_padded, geom)
+        n_tiles = (geom.n_tiles_even * b, geom.n_tiles_odd * b)
+        chunk = max(1, min(batch_size, max(n_tiles)))
+        cond_tiles, label_tiles, n_chunks = [], [], []
+        for parity in (0, 1):
+            ct, _ = pad_tiles_to_multiple(
+                extract_tiles(cond_zeroed, geom, parity), chunk)
+            cond_tiles.append(ct)
+            n_chunks.append(ct.shape[0] // chunk)
+            if class_label is not None:
+                lt = jnp.repeat(class_label, n_tiles[parity] // b)
+                label_tiles.append(jnp.pad(lt, (0, ct.shape[0] - lt.shape[0])))
+            else:
+                label_tiles.append(None)
+
+        if geom.has_margin:
+            it, il, ib, ir = geom.interior
+            interior_mask = jnp.zeros((1, geom.padded_h, geom.padded_w, 1),
+                                      jnp.float32).at[:, it:ib, il:ir, :].set(1.0)
+        else:
+            interior_mask = None
+
+        def scale_at(i):
+            cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
+            ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
+            return cs if mode == GUIDANCE_COND else ccs
+
+        def process(img, i, key, parity, second_order: bool):
+            """Churn-noise the canvas, Heun-update its tiles, scatter back.
+
+            The reference draws eps and forms images_hat at canvas level
+            before tiling (model.py:2392-2395); identical here.
+            """
+            e = self.edm
+            sigma, sigma_next, gamma = sig[i], sig[i + 1], gam[i]
+            eps = e.S_noise * jax.random.normal(key, canvas_shape, jnp.float32)
+            sigma_hat = sigma + gamma * sigma
+            img_hat = img + jnp.sqrt(jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0)) * eps
+
+            tiles = extract_tiles(img_hat, geom, parity)
+            tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
+            lt = label_tiles[parity]
+            scale = scale_at(i)
+
+            def chunk_fn(xs, cs, *maybe_label):
+                lb = maybe_label[0] if maybe_label else None
+                den = self.precond_denoise(params, xs, sigma_hat, cs, lb,
+                                           mode, scale, clamp)
+                d = (xs - den) / sigma_hat
+                x_next = xs + (sigma_next - sigma_hat) * d
+                if second_order:
+                    den2 = self.precond_denoise(params, x_next, sigma_next, cs,
+                                                lb, mode, scale, clamp)
+                    d2 = (x_next - den2) / sigma_next
+                    x_next = xs + 0.5 * (sigma_next - sigma_hat) * (d + d2)
+                return x_next
+
+            args = (tiles, cond_tiles[parity])
+            if lt is not None:
+                args = args + (lt,)
+            out = chunked_map(chunk_fn, n_chunks[parity], *args)
+            return scatter_tiles(img, out[:n_orig], geom, parity)
+
+        def renoise_margin(img, key_m, i):
+            # margin := zeros + sigmas[i]*noise (model.py:2454-2458 uses
+            # get_noised_images(zeros, i) — the CURRENT step index)
+            fresh = sig[i] * jax.random.normal(key_m, img.shape, jnp.float32)
+            return img * interior_mask + fresh * (1.0 - interior_mask)
+
+        def make_step(second_order: bool):
+            def step(img, i):
+                key = jax.random.fold_in(rng, i)
+                key_t, key_m = jax.random.split(key)
+                img = jax.lax.cond(
+                    i % 2 == 0,
+                    lambda im: process(im, i, key_t, 0, second_order),
+                    lambda im: (lambda updated: renoise_margin(updated, key_m, i)
+                                if interior_mask is not None else updated)(
+                        process(im, i, key_t, 1, second_order)),
+                    img)
+                return img, (img if capture_trajectory else None)
+            return step
+
+        start = generation_start_steps
+        traj = None
+        if start < n - 1:
+            img, traj = jax.lax.scan(make_step(True), img,
+                                     jnp.arange(start, n - 1))
+        img, _ = make_step(False)(img, jnp.asarray(n - 1))
+
+        left, top, right, bottom = geom.crop
+        out = img[:, top:bottom, left:right, :]
+        out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))
+        if capture_trajectory:
+            tail = out[None] if traj is None else jnp.concatenate(
+                [traj, img[None]], axis=0)
+            return out, tail
+        return out
+
+    # ------------------------------------------------------------------
+    # Training loss. Parity: model.py:2030-2056, 2570-2600 (cond-drop
+    # probability corrected, see module docstring).
+    # ------------------------------------------------------------------
+    def loss(self, params, rng, img, condition_x, class_label=None, *,
+             noise=None, sigmas=None):
+        b = img.shape[0]
+        e = self.edm
+        k_s, k_n, k_d1, k_d2 = jax.random.split(rng, 4)
+        x = normalize_to_neg_one_to_one(img)
+        cond = normalize_to_neg_one_to_one(condition_x)
+
+        drop_cond = jax.random.uniform(k_d1, ()) < self.cond_drop_prob
+        cond = jnp.where(drop_cond, jnp.zeros_like(cond), cond)
+        class_mask = None
+        if class_label is not None:
+            drop_class = jax.random.uniform(k_d2, ()) < self.class_cond_drop_prob
+            class_mask = jnp.where(drop_class, 0.0, 1.0) * jnp.ones((b,), jnp.float32)
+
+        if sigmas is None:
+            sigmas = jnp.exp(e.P_mean + e.P_std *
+                             jax.random.normal(k_s, (b,), jnp.float32))
+        if noise is None:
+            noise = jax.random.normal(k_n, x.shape, jnp.float32)
+        sig_b = sigmas.reshape((b,) + (1,) * (x.ndim - 1))
+        noised = x + sig_b * noise
+
+        # per-sample sigma preconditioning (vs scalar in precond_denoise)
+        c_in, c_skip, c_out = e.c_in(sig_b), e.c_skip(sig_b), e.c_out(sig_b)
+        net_out = self.net_apply(params, c_in * noised, e.c_noise(sigmas),
+                                 cond, class_label, class_mask)
+        denoised = c_skip * noised + c_out * net_out
+
+        from srgd_tpu.diffusion.continuous import _elementwise_loss
+        err = _elementwise_loss(denoised, x, self.loss_type)
+        losses = jnp.mean(err.reshape(b, -1), axis=1) * e.loss_weight(sigmas)
+        return jnp.mean(losses)

@@ -1,0 +1,400 @@
+"""Discrete-time Gaussian diffusion (DDPM/DDIM family).
+
+Reimplements GaussianDiffusionSR / ConditionalGaussianDiffusionSR
+(/root/reference/model.py:781-1728) as pure jittable functions with the same
+scan/tiling/CFG architecture as the continuous family (continuous.py).
+
+Math parity:
+- buffers re-derived from float64 beta tables (schedules.make_discrete_schedule,
+  matching the locally re-registered buffers at model.py:859-907);
+- model_predictions per objective incl. clip_x_start + rederive_pred_noise
+  (model.py:1449-1489);
+- ancestral p_sample via q_posterior mean/log-variance (model.py:1491-1514);
+- DDIM update x0*sqrt(ac_next) + sqrt(1-ac_next-sigma^2)*eps + sigma*noise with
+  eta=0 (model.py:1565-1641), terminal time_next<0 -> img = x0;
+- tiled sampler = DDIM update on the alternating tile grids with odd-step
+  margin re-noise q_sample(zeros, t_next) (model.py:1079-1227).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srgd_tpu.diffusion import schedules
+from srgd_tpu.diffusion.base import (
+    GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, chunked_map,
+    guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
+    resolve_guidance_mode, unnormalize_to_zero_to_one,
+)
+from srgd_tpu.tiling import (
+    extract_tiles, make_geometry, reflect_pad, scatter_tiles, zero_margin,
+)
+
+OBJECTIVES = ('pred_noise', 'pred_x0', 'pred_v')
+
+
+def ddim_time_pairs(total_timesteps: int, sampling_timesteps: int) -> np.ndarray:
+    """[(T-1,T-2'),...,(t,-1)] pairs from linspace(-1, T-1, steps+1) reversed,
+    truncated to ints (parity: model.py:1573-1575; float64 linspace — for the
+    shipped divisible configs the grid is exact)."""
+    times = np.linspace(-1, total_timesteps - 1, sampling_timesteps + 1)
+    times = list(reversed(times.astype(np.int64).tolist()))
+    return np.asarray(list(zip(times[:-1], times[1:])), dtype=np.int32)
+
+
+@dataclass(eq=False)
+class GaussianDiffusion:
+    """DDPM/DDIM wrapper; covers conditional + unconditional variants."""
+
+    net: Any
+    image_size: int
+    channels: int = 3
+    timesteps: int = 1000
+    sampling_timesteps: Optional[int] = None
+    objective: str = 'pred_noise'
+    beta_schedule: str = 'linear'
+    ddim_sampling_eta: float = 0.0
+    offset_noise_strength: float = 0.0
+    min_snr_loss_weight: bool = False
+    min_snr_gamma: float = 5.0
+    cond_drop_prob: float = 0.0
+    class_cond_drop_prob: float = 0.0
+    loss_type: str = 'l2'
+
+    def __post_init__(self):
+        assert self.objective in OBJECTIVES, (
+            'objective must be either pred_noise (predict noise) or pred_x0 '
+            '(predict image start) or pred_v (predict v)')
+        self.sched = schedules.make_discrete_schedule(
+            self.beta_schedule, self.timesteps, self.objective,
+            self.min_snr_loss_weight, self.min_snr_gamma)
+        if self.sampling_timesteps is None:
+            self.sampling_timesteps = self.timesteps
+        assert self.sampling_timesteps <= self.timesteps
+        self.is_ddim_sampling = self.sampling_timesteps < self.timesteps
+
+    # ------------------------------------------------------------------
+    def net_apply(self, params, x, time_b, cond, class_label, class_mask):
+        return self.net.apply(params, x, time_b.astype(jnp.float32), cond=cond,
+                              class_label=class_label, class_mask=class_mask)
+
+    # ------------------------------------------------------------------
+    # x0 / eps conversions (library-inherited formulas, SURVEY.md 2.11)
+    # ------------------------------------------------------------------
+    def predict_start_from_noise(self, x, t, eps):
+        s = self.sched
+        return s.sqrt_recip_alphas_cumprod[t] * x - s.sqrt_recipm1_alphas_cumprod[t] * eps
+
+    def predict_noise_from_start(self, x, t, x0):
+        s = self.sched
+        return (s.sqrt_recip_alphas_cumprod[t] * x - x0) / s.sqrt_recipm1_alphas_cumprod[t]
+
+    def predict_start_from_v(self, x, t, v):
+        s = self.sched
+        return s.sqrt_alphas_cumprod[t] * x - s.sqrt_one_minus_alphas_cumprod[t] * v
+
+    def predict_v(self, x0, t, eps):
+        s = self.sched
+        return s.sqrt_alphas_cumprod[t] * eps - s.sqrt_one_minus_alphas_cumprod[t] * x0
+
+    def q_posterior(self, x0, x, t):
+        s = self.sched
+        mean = s.posterior_mean_coef1[t] * x0 + s.posterior_mean_coef2[t] * x
+        return mean, s.posterior_variance[t], s.posterior_log_variance_clipped[t]
+
+    def q_sample(self, x0, t, noise):
+        """t: scalar or (B,) int (broadcast over trailing dims by the caller).
+        Parity: standard q_sample the reference inherits (SURVEY.md 2.11)."""
+        s = self.sched
+        return s.sqrt_alphas_cumprod[t] * x0 + s.sqrt_one_minus_alphas_cumprod[t] * noise
+
+    # ------------------------------------------------------------------
+    def model_predictions(self, params, x, t, cond, class_label, mode, scale,
+                          clip_x_start=False, rederive_pred_noise=False):
+        """t: traced int scalar. Returns (pred_noise, x_start).
+        Parity: model.py:1449-1489."""
+        time_b = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        out = guided_denoise(self.net_apply, params, x, time_b, cond,
+                             class_label, mode, scale)
+        clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
+
+        if self.objective == 'pred_noise':
+            eps = out
+            x0 = clip(self.predict_start_from_noise(x, t, eps))
+            if clip_x_start and rederive_pred_noise:
+                eps = self.predict_noise_from_start(x, t, x0)
+        elif self.objective == 'pred_x0':
+            x0 = clip(out)
+            eps = self.predict_noise_from_start(x, t, x0)
+        else:  # pred_v
+            x0 = clip(self.predict_start_from_v(x, t, out))
+            eps = self.predict_noise_from_start(x, t, x0)
+        return eps, x0
+
+    # ------------------------------------------------------------------
+    # Ancestral sampler (full T steps). Parity: model.py:1502-1563.
+    # ------------------------------------------------------------------
+    def p_sample_step(self, params, x, t, cond, class_label, noise, mode, scale):
+        _, x0 = self.model_predictions(params, x, t, cond, class_label, mode, scale)
+        x0 = jnp.clip(x0, -1.0, 1.0)  # clip_denoised=True (model.py:1496-1497)
+        mean, _, log_var = self.q_posterior(x0, x, t)
+        nonzero = jnp.asarray(t > 0, jnp.float32)  # no noise at t == 0
+        return mean + nonzero * jnp.exp(0.5 * log_var) * noise, x0
+
+    def p_sample_loop(self, params, rng, cond, class_label, *, cond_scale=1.0,
+                      guidance_start_steps=0, class_cond_scale=1.0,
+                      class_guidance_start_steps=0, generation_start_steps=0,
+                      capture_trajectory=False):
+        mode = resolve_guidance_mode(cond_scale, class_cond_scale)
+        T = self.timesteps
+        rng, init_key = jax.random.split(rng)
+        if generation_start_steps > 0:
+            target_t = T - generation_start_steps
+            noise = jax.random.normal(init_key, cond.shape, jnp.float32)
+            img = self.q_sample(cond, target_t, noise)
+        else:
+            img = jax.random.normal(init_key, cond.shape, jnp.float32)
+
+        def step(img, i):
+            t = T - 1 - i
+            key = jax.random.fold_in(rng, i)
+            cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
+            ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
+            scale = cs if mode == GUIDANCE_COND else ccs
+            noise = jax.random.normal(key, img.shape, jnp.float32)
+            img, x0 = self.p_sample_step(params, img, t, cond, class_label,
+                                         noise, mode, scale)
+            return img, (img if capture_trajectory else None)
+
+        idxs = jnp.arange(generation_start_steps, T)
+        img, traj = jax.lax.scan(step, img, idxs)
+        out = unnormalize_to_zero_to_one(img)  # parity: no final clamp in
+        # the reference ancestral loop (model.py:1557-1563)
+        return (out, traj) if capture_trajectory else out
+
+    # ------------------------------------------------------------------
+    # DDIM sampler. Parity: model.py:1565-1641 (eta = 0).
+    # ------------------------------------------------------------------
+    def ddim_step(self, params, x, time, time_next, cond, class_label, noise,
+                  mode, scale):
+        """One DDIM update; time/time_next traced int scalars (time_next may
+        be -1 on the terminal step -> return x0)."""
+        eps, x0 = self.model_predictions(params, x, time, cond, class_label,
+                                         mode, scale, clip_x_start=True,
+                                         rederive_pred_noise=True)
+        s = self.sched
+        alpha = s.alphas_cumprod[time]
+        alpha_next = s.alphas_cumprod[jnp.maximum(time_next, 0)]
+        eta = self.ddim_sampling_eta
+        sigma = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
+        c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma ** 2, 0.0))
+        img = x0 * jnp.sqrt(alpha_next) + c * eps + sigma * noise
+        return jnp.where(time_next < 0, x0, img), x0
+
+    def ddim_sample(self, params, rng, cond, class_label, *, cond_scale=1.0,
+                    guidance_start_steps=0, class_cond_scale=1.0,
+                    class_guidance_start_steps=0, generation_start_steps=0,
+                    sampling_timesteps=None, capture_trajectory=False):
+        mode = resolve_guidance_mode(cond_scale, class_cond_scale)
+        n_steps = sampling_timesteps or self.sampling_timesteps
+        pairs = jnp.asarray(ddim_time_pairs(self.timesteps, n_steps))
+
+        rng, init_key = jax.random.split(rng)
+        if generation_start_steps > 0:
+            target_t = int(ddim_time_pairs(self.timesteps, n_steps)[generation_start_steps][0])
+            noise = jax.random.normal(init_key, cond.shape, jnp.float32)
+            img = self.q_sample(cond, target_t, noise)
+        else:
+            img = jax.random.normal(init_key, cond.shape, jnp.float32)
+
+        def step(img, inp):
+            i, (time, time_next) = inp
+            key = jax.random.fold_in(rng, i)
+            cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
+            ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
+            scale = cs if mode == GUIDANCE_COND else ccs
+            noise = jax.random.normal(key, img.shape, jnp.float32)
+            img, x0 = self.ddim_step(params, img, time, time_next, cond,
+                                     class_label, noise, mode, scale)
+            return img, (img if capture_trajectory else None)
+
+        idxs = jnp.arange(generation_start_steps, n_steps)
+        img, traj = jax.lax.scan(
+            step, img, (idxs, (pairs[generation_start_steps:, 0],
+                               pairs[generation_start_steps:, 1])))
+        out = unnormalize_to_zero_to_one(img)
+        return (out, traj) if capture_trajectory else out
+
+    # ------------------------------------------------------------------
+    def sample(self, params, rng, condition_x, class_label=None, *,
+               cond_scale=1.0, guidance_start_steps=0, class_cond_scale=1.0,
+               class_guidance_start_steps=0, generation_start_steps=0,
+               num_sample_steps=None, capture_trajectory=False):
+        """condition_x in [0,1]; dispatch ancestral vs DDIM like the reference
+        (model.py:1644-1659)."""
+        cond = normalize_to_neg_one_to_one(condition_x)
+        kw = dict(cond_scale=cond_scale, guidance_start_steps=guidance_start_steps,
+                  class_cond_scale=class_cond_scale,
+                  class_guidance_start_steps=class_guidance_start_steps,
+                  generation_start_steps=generation_start_steps,
+                  capture_trajectory=capture_trajectory)
+        if self.is_ddim_sampling:
+            return self.ddim_sample(params, rng, cond, class_label,
+                                    sampling_timesteps=num_sample_steps, **kw)
+        return self.p_sample_loop(params, rng, cond, class_label, **kw)
+
+    # ------------------------------------------------------------------
+    # Tiled DDIM sampler. Parity: model.py:1079-1227.
+    # ------------------------------------------------------------------
+    def tiled_sample(self, params, rng, condition_x, class_label=None, *,
+                     batch_size: int = 4, tile_size: int = 256,
+                     tile_stride: Optional[int] = None,
+                     cond_scale=1.0, guidance_start_steps=0,
+                     class_cond_scale=1.0, class_guidance_start_steps=0,
+                     generation_start_steps=0, num_sample_steps=None,
+                     start_white_noise=True, capture_trajectory=False):
+        n_steps = num_sample_steps or self.sampling_timesteps
+        b, h, w, ch = condition_x.shape
+        geom = make_geometry(h, w, tile_size, tile_stride)
+        mode = resolve_guidance_mode(cond_scale, class_cond_scale)
+        pairs_np = ddim_time_pairs(self.timesteps, n_steps)
+        pairs = jnp.asarray(pairs_np)
+
+        cond = normalize_to_neg_one_to_one(condition_x)
+        cond_padded = reflect_pad(cond, geom.pad)
+        canvas_shape = cond_padded.shape
+
+        rng, init_key = jax.random.split(rng)
+        if generation_start_steps > 0:
+            target_t = int(pairs_np[generation_start_steps][0])
+            noise = jax.random.normal(init_key, canvas_shape, jnp.float32)
+            img = self.q_sample(cond_padded, target_t, noise)
+        else:
+            img = jax.random.normal(init_key, canvas_shape, jnp.float32)
+
+        cond_zeroed = zero_margin(cond_padded, geom)
+        n_tiles = (geom.n_tiles_even * b, geom.n_tiles_odd * b)
+        chunk = max(1, min(batch_size, max(n_tiles)))
+        cond_tiles, label_tiles, n_chunks = [], [], []
+        for parity in (0, 1):
+            ct, _ = pad_tiles_to_multiple(
+                extract_tiles(cond_zeroed, geom, parity), chunk)
+            cond_tiles.append(ct)
+            n_chunks.append(ct.shape[0] // chunk)
+            if class_label is not None:
+                lt = jnp.repeat(class_label, n_tiles[parity] // b)
+                label_tiles.append(jnp.pad(lt, (0, ct.shape[0] - lt.shape[0])))
+            else:
+                label_tiles.append(None)
+
+        if geom.has_margin:
+            it, il, ib, ir = geom.interior
+            interior_mask = jnp.zeros((1, geom.padded_h, geom.padded_w, 1),
+                                      jnp.float32).at[:, it:ib, il:ir, :].set(1.0)
+        else:
+            interior_mask = None
+
+        def process(img, key, parity, time, time_next, scale):
+            noise_canvas = jax.random.normal(key, canvas_shape, jnp.float32)
+            tiles = extract_tiles(img, geom, parity)
+            tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
+            noise, _ = pad_tiles_to_multiple(
+                extract_tiles(noise_canvas, geom, parity), chunk)
+            lt = label_tiles[parity]
+
+            def chunk_fn(xs, cs, ns, *maybe_label):
+                lb = maybe_label[0] if maybe_label else None
+                nx, _ = self.ddim_step(params, xs, time, time_next, cs, lb,
+                                       ns, mode, scale)
+                return nx
+
+            args = (tiles, cond_tiles[parity], noise)
+            if lt is not None:
+                args = args + (lt,)
+            out = chunked_map(chunk_fn, n_chunks[parity], *args)
+            return scatter_tiles(img, out[:n_orig], geom, parity)
+
+        def odd_tail(img, key_m, time_next):
+            if interior_mask is None:
+                return img
+            # margin := q_sample(zeros, t_next) = sqrt(1-ac[t_next]) * noise
+            # (model.py:1205-1210); skipped on the terminal step, where the
+            # reference `continue`s before re-noising (model.py:1197-1203)
+            s = self.sched
+            coeff = s.sqrt_one_minus_alphas_cumprod[jnp.maximum(time_next, 0)]
+            coeff = jnp.where(time_next < 0, 0.0, coeff)
+            fresh = jax.random.normal(key_m, img.shape, jnp.float32) * coeff
+            stale = img * (1.0 - interior_mask)
+            renoised = jnp.where(time_next < 0, stale, fresh * (1.0 - interior_mask))
+            return img * interior_mask + renoised
+
+        def step(img, inp):
+            i, time, time_next = inp
+            key = jax.random.fold_in(rng, i)
+            key_t, key_m = jax.random.split(key)
+            cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
+            ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
+            scale = cs if mode == GUIDANCE_COND else ccs
+            img = jax.lax.cond(
+                i % 2 == 0,
+                lambda im: process(im, key_t, 0, time, time_next, scale),
+                lambda im: odd_tail(process(im, key_t, 1, time, time_next, scale),
+                                    key_m, time_next),
+                img)
+            return img, (img if capture_trajectory else None)
+
+        idxs = jnp.arange(generation_start_steps, n_steps)
+        img, traj = jax.lax.scan(
+            step, img, (idxs, pairs[generation_start_steps:, 0],
+                        pairs[generation_start_steps:, 1]))
+
+        left, top, right, bottom = geom.crop
+        out = img[:, top:bottom, left:right, :]
+        out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))
+        return (out, traj) if capture_trajectory else out
+
+    # ------------------------------------------------------------------
+    # Training. Parity: model.py:1661-1728.
+    # ------------------------------------------------------------------
+    def loss(self, params, rng, img, condition_x, class_label=None, *,
+             noise=None, t=None):
+        b = img.shape[0]
+        k_t, k_n, k_o, k_d1, k_d2 = jax.random.split(rng, 5)
+        if t is None:
+            t = jax.random.randint(k_t, (b,), 0, self.timesteps)
+        x_start = normalize_to_neg_one_to_one(img)
+        cond = normalize_to_neg_one_to_one(condition_x)
+        if noise is None:
+            noise = jax.random.normal(k_n, img.shape, jnp.float32)
+        if self.offset_noise_strength > 0.0:
+            offset = jax.random.normal(k_o, img.shape[:1] + (1, 1) + img.shape[-1:])
+            noise = noise + self.offset_noise_strength * offset
+
+        drop_cond = jax.random.uniform(k_d1, ()) < self.cond_drop_prob
+        cond = jnp.where(drop_cond, jnp.zeros_like(cond), cond)
+        class_mask = None
+        if class_label is not None:
+            drop_class = jax.random.uniform(k_d2, ()) < self.class_cond_drop_prob
+            class_mask = jnp.where(drop_class, 0.0, 1.0) * jnp.ones((b,), jnp.float32)
+
+        tb = t.reshape((b,) + (1,) * (img.ndim - 1))
+        x = self.q_sample(x_start, tb, noise)
+        out = self.net_apply(params, x, t, cond, class_label, class_mask)
+
+        if self.objective == 'pred_noise':
+            target = noise
+        elif self.objective == 'pred_x0':
+            target = x_start
+        else:
+            target = self.predict_v(x_start, tb, noise)
+
+        from srgd_tpu.diffusion.continuous import _elementwise_loss
+        err = _elementwise_loss(out, target, self.loss_type)
+        losses = jnp.mean(err.reshape(b, -1), axis=1)
+        losses = losses * self.sched.loss_weight[t]
+        return jnp.mean(losses)
