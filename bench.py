@@ -1,0 +1,120 @@
+"""Headline benchmark: 4x super-resolution throughput of the flagship model.
+
+Measures megapixels/sec/chip of the tiled sampler on a 512px LR input
+(-> 2048px output, 2304px padded canvas: 81/64 alternating tiles of 256px),
+flagship ConditionalSRUnet dim=128 in bfloat16, and extrapolates the measured
+per-step cost to the shipped 250-step budget.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline derivation (reference publishes no numbers — BASELINE.md):
+the reference runs the same tile schedule in fp32/TF32 on an A100 through a
+Python step loop. Cost model: work = steps x tiles x U-Net forward FLOPs.
+We assume the torch/cuDNN path sustains 35% of A100 TF32 peak (156 TFLOP/s)
+=> ~55 TFLOP/s effective, and charge it the same FLOPs we execute. Then
+  ref_time = total_flops / 55e12 ; vs_baseline = our_throughput / ref_throughput.
+This is an *estimate*, recorded so the ratio is at least derived, not invented.
+
+Env knobs: BENCH_LR_SIZE (512), BENCH_STEPS (8), BENCH_FULL_STEPS (250),
+BENCH_BATCH (8), BENCH_DTYPE (bfloat16).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    lr_size = int(os.environ.get('BENCH_LR_SIZE', 512))
+    meas_steps = int(os.environ.get('BENCH_STEPS', 8))
+    full_steps = int(os.environ.get('BENCH_FULL_STEPS', 250))
+    batch = int(os.environ.get('BENCH_BATCH', 8))
+    dtype = os.environ.get('BENCH_DTYPE', 'bfloat16')
+    assert meas_steps % 2 == 0, 'measure whole even/odd pairs'
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from srgd_tpu.factory import build_wrapper
+    from srgd_tpu.nn.unet import build_unet_from_config
+
+    conf = ge._flagship_conf()
+    conf.compute_dtype = dtype
+    net = build_unet_from_config(conf)
+    wrapper = build_wrapper(conf, net)
+
+    hr = lr_size * 4
+    rng = jax.random.PRNGKey(71)
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (1, hr, hr, 3), jnp.float32)
+
+    params = jax.jit(lambda k: net.init(
+        k, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,)),
+        cond=jnp.zeros((1, 256, 256, 3)),
+        class_label=jnp.zeros((1,), jnp.int32)))(jax.random.PRNGKey(0))
+    if dtype == 'bfloat16':
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    label = jnp.zeros((1,), jnp.int32)
+
+    def run(steps):
+        # host-loop mode: per-parity jitted steps (cached on the wrapper);
+        # the single-scan program exceeds remote-compile request limits
+        out = wrapper.tiled_sample(params, rng, cond, label,
+                                   batch_size=batch, tile_size=256,
+                                   num_sample_steps=steps, host_loop=True)
+        out.block_until_ready()
+        return out
+
+    t0 = time.time()
+    out = run(meas_steps)
+    compile_and_first = time.time() - t0
+
+    t0 = time.time()
+    out = run(meas_steps)
+    meas_time = time.time() - t0
+
+    # per-pair cost -> full-step budget
+    per_pair = meas_time / (meas_steps / 2)
+    full_time = per_pair * (full_steps / 2)
+    out_mpix = (hr * hr) / 1e6
+    throughput = out_mpix / full_time  # MPix/s/chip at 250 steps
+
+    # cost model for the baseline estimate (see module docstring):
+    # FLOPs = U-Net forward flops x chunk-calls per step pair x pairs
+    try:
+        from srgd_tpu.tiling import make_geometry
+        geom = make_geometry(hr, hr, 256)
+        fwd = jax.jit(lambda p, x, t, c, l: net.apply(
+            p, x, t, cond=c, class_label=l))
+        xs = jnp.zeros((batch, 256, 256, 3))
+        flops_fwd = fwd.lower(params, xs, jnp.zeros((batch,)), xs,
+                              jnp.zeros((batch,), jnp.int32)
+                              ).compile().cost_analysis()['flops']
+        n_chunks_pair = (-(-geom.n_tiles_even // batch)
+                         + -(-geom.n_tiles_odd // batch))
+        total_flops = flops_fwd * n_chunks_pair * (full_steps / 2)
+    except Exception:
+        total_flops = None
+    if total_flops:
+        ref_time = total_flops / 55e12
+        ref_throughput = out_mpix / ref_time
+        vs_baseline = throughput / ref_throughput
+    else:
+        vs_baseline = float('nan')
+
+    print(json.dumps({
+        'metric': '4x-SR megapixels/sec/chip @512px LR, 250 steps, dim128 bf16',
+        'value': round(throughput, 4),
+        'unit': 'MPix/s/chip',
+        'vs_baseline': round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+    }))
+    print(f'# devices={jax.devices()} dtype={dtype} measured {meas_steps} steps '
+          f'in {meas_time:.2f}s (compile+first {compile_and_first:.1f}s); '
+          f'extrapolated {full_steps}-step latency {full_time:.1f}s/image; '
+          f'total_flops={total_flops}', file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

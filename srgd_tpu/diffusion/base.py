@@ -95,6 +95,70 @@ def chunked_map(fn: Callable, n_chunks: int, *arrays):
         lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]), out)
 
 
+def prepare_tile_context(cond_padded, geom, batch: int, batch_size: int,
+                         class_label):
+    """Shared tiled-sampler setup: zero-margined condition canvas split into
+    per-parity padded tile batches + per-tile labels + interior mask.
+
+    Returns (cond_tiles[2], label_tiles[2], n_chunks[2], chunk, interior_mask).
+    """
+    from srgd_tpu.tiling import extract_tiles, zero_margin
+
+    cond_zeroed = zero_margin(cond_padded, geom)
+    n_tiles = (geom.n_tiles_even * batch, geom.n_tiles_odd * batch)
+    chunk = max(1, min(batch_size, max(n_tiles)))
+    cond_tiles, label_tiles, n_chunks = [], [], []
+    for parity in (0, 1):
+        ct, _ = pad_tiles_to_multiple(
+            extract_tiles(cond_zeroed, geom, parity), chunk)
+        cond_tiles.append(ct)
+        n_chunks.append(ct.shape[0] // chunk)
+        if class_label is not None:
+            lt = jnp.repeat(class_label, n_tiles[parity] // batch)
+            label_tiles.append(jnp.pad(lt, (0, ct.shape[0] - lt.shape[0])))
+        else:
+            label_tiles.append(None)
+
+    if geom.has_margin:
+        it, il, ib, ir = geom.interior
+        interior_mask = jnp.zeros((1, geom.padded_h, geom.padded_w, 1),
+                                  jnp.float32).at[:, it:ib, il:ir, :].set(1.0)
+    else:
+        interior_mask = None
+    return cond_tiles, label_tiles, n_chunks, chunk, interior_mask
+
+
+def run_tiled_host_loop(jit_cache: dict, cache_key, step_builders: dict,
+                        select, params, img, cond_tiles, label_tiles, rng,
+                        indices, capture_trajectory: bool):
+    """Execute a tiled sampler as a host-side Python loop over per-step jitted
+    functions (one compile per (parity, variant)), instead of one lax.scan.
+
+    Needed on deployments where the whole-sampler HLO exceeds compile-service
+    request limits (axon remote compile returns HTTP 413 for the 250-step
+    single-scan program on 2K canvases); also gives per-step dispatch at ~ms
+    cost against ~100ms+ step compute.
+
+    step_builders: {tag: fn_builder} where fn_builder() returns
+      f(params, img, cond_tiles_p, label_tiles_p, rng, i) -> img.
+    select(i) -> (tag, parity). Jitted fns are cached in jit_cache[cache_key].
+    """
+    fns = jit_cache.get(cache_key)
+    if fns is None:
+        fns = {tag: jax.jit(builder()) for tag, builder in step_builders.items()}
+        jit_cache[cache_key] = fns
+    traj = []
+    for i in indices:
+        tag, parity = select(int(i))
+        img = fns[tag](params, img, cond_tiles[parity], label_tiles[parity],
+                       rng, jnp.asarray(i, jnp.int32))
+        if capture_trajectory:
+            traj.append(img)
+    if capture_trajectory:
+        return img, jnp.stack(traj, axis=0)
+    return img, None
+
+
 def pad_tiles_to_multiple(tiles: jnp.ndarray, chunk: int):
     """Pad the tile axis to a multiple of ``chunk``; returns (padded, n_orig).
 

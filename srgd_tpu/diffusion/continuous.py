@@ -35,7 +35,8 @@ from srgd_tpu.diffusion import schedules
 from srgd_tpu.diffusion.base import (
     GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, chunked_map,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
-    resolve_guidance_mode, unnormalize_to_zero_to_one,
+    prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
+    unnormalize_to_zero_to_one,
 )
 from srgd_tpu.tiling import (
     TileGeometry, extract_tiles, make_geometry, reflect_pad, scatter_tiles,
@@ -43,7 +44,7 @@ from srgd_tpu.tiling import (
 )
 
 
-@dataclass(frozen=True)
+@dataclass(eq=False)
 class ContinuousDiffusion:
     """Wraps a denoiser net with continuous-time diffusion sampling/training."""
 
@@ -58,6 +59,9 @@ class ContinuousDiffusion:
     cond_drop_prob: float = 0.0
     class_cond_drop_prob: float = 0.0
     loss_type: str = 'l2'
+
+    def __post_init__(self):
+        self._jit_cache = {}
 
     # ------------------------------------------------------------------
     def net_apply(self, params, x, time_b, cond, class_label, class_mask):
@@ -183,9 +187,15 @@ class ContinuousDiffusion:
                      generation_start_steps: int = 0,
                      num_sample_steps: Optional[int] = None,
                      start_white_noise: bool = True,
-                     capture_trajectory: bool = False):
+                     capture_trajectory: bool = False,
+                     host_loop: bool = False):
         """condition_x: (B,H,W,C) in [0,1] at TARGET resolution (pre-upscaled
-        LR). Returns (B, H, W, C) in [0,1]."""
+        LR). Returns (B, H, W, C) in [0,1].
+
+        host_loop=True runs the step loop on the host with per-parity jitted
+        step functions (cached on the wrapper) instead of one lax.scan —
+        required where the whole-sampler HLO exceeds compile-service limits
+        (see base.run_tiled_host_loop); results are identical."""
         n_steps = num_sample_steps or self.num_sample_steps
         b, h, w, ch = condition_x.shape
         geom = make_geometry(h, w, tile_size, tile_stride)
@@ -208,69 +218,80 @@ class ContinuousDiffusion:
 
         # condition canvas is zeroed outside the shifted-grid interior
         # (model.py:3340-3342); precompute per-parity condition/label tiles.
-        cond_zeroed = zero_margin(cond_padded, geom)
-        n_tiles = (geom.n_tiles_even * b, geom.n_tiles_odd * b)
-        chunk = max(1, min(batch_size, max(n_tiles)))
-        cond_tiles, label_tiles, n_chunks = [], [], []
-        for parity in (0, 1):
-            ct, _ = pad_tiles_to_multiple(
-                extract_tiles(cond_zeroed, geom, parity), chunk)
-            cond_tiles.append(ct)
-            n_chunks.append(ct.shape[0] // chunk)
-            if class_label is not None:
-                lt = jnp.repeat(class_label, n_tiles[parity] // b)
-                lt = jnp.pad(lt, (0, ct.shape[0] - lt.shape[0]))
-                label_tiles.append(lt)
-            else:
-                label_tiles.append(None)
+        cond_tiles, label_tiles, n_chunks, chunk, interior_mask = \
+            prepare_tile_context(cond_padded, geom, b, batch_size, class_label)
 
-        if geom.has_margin:
-            it, il, ib, ir = geom.interior
-            interior_mask = jnp.zeros((1, geom.padded_h, geom.padded_w, 1),
-                                      jnp.float32).at[:, it:ib, il:ir, :].set(1.0)
+        def make_parity_step(parity: int):
+            """One full step on one grid parity, as an explicit-args function
+            (jittable standalone for host-loop mode)."""
+
+            def pstep(params, img, ctiles, ltiles, rng, i):
+                key = jax.random.fold_in(rng, i)
+                key_t, key_m = jax.random.split(key)
+                scale = self._step_scale(
+                    i, mode, cond_scale, guidance_start_steps,
+                    class_cond_scale, class_guidance_start_steps)
+                # noise at canvas resolution then tiled: bit-identical results
+                # regardless of the tile-chunk (batch_size) setting
+                noise_canvas = jax.random.normal(key_t, canvas_shape, jnp.float32)
+                tiles = extract_tiles(img, geom, parity)
+                tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
+                noise, _ = pad_tiles_to_multiple(
+                    extract_tiles(noise_canvas, geom, parity), chunk)
+                is_last = i == n_steps - 1
+
+                def chunk_fn(xs, cs, ns, *maybe_label):
+                    lb = maybe_label[0] if maybe_label else None
+                    nx, _ = self.p_sample_tiles(
+                        params, xs, cs, lb, ns, table[i], table[i + 1],
+                        mode, scale, is_last)
+                    return nx
+
+                args = (tiles, ctiles, noise)
+                if ltiles is not None:
+                    args = args + (ltiles,)
+                out = chunked_map(chunk_fn, n_chunks[parity], *args)
+                img = scatter_tiles(img, out[:n_orig], geom, parity)
+
+                if parity == 1 and interior_mask is not None:
+                    # margin := q_sample(zeros, t_next) = sigma_next * noise
+                    # (model.py:3392-3396); every odd step incl. the final one
+                    # (the crop region never overlaps the margin)
+                    sigma_next = jnp.sqrt(jax.nn.sigmoid(-table[i + 1]))
+                    fresh = jax.random.normal(
+                        key_m, img.shape, jnp.float32) * sigma_next
+                    img = img * interior_mask + fresh * (1.0 - interior_mask)
+                return img
+
+            return pstep
+
+        indices = range(generation_start_steps, n_steps)
+        if host_loop:
+            cache_key = ('cont', geom, n_steps, mode, cond_scale,
+                         class_cond_scale, guidance_start_steps,
+                         class_guidance_start_steps, chunk, tuple(n_chunks),
+                         class_label is None, b, self.noise_schedule,
+                         self.clip_sample_denoised)
+            img, traj = run_tiled_host_loop(
+                self._jit_cache, cache_key,
+                {0: lambda: make_parity_step(0), 1: lambda: make_parity_step(1)},
+                lambda i: (i % 2, i % 2), params, img, cond_tiles, label_tiles,
+                rng, indices, capture_trajectory)
         else:
-            interior_mask = None
+            even_step, odd_step = make_parity_step(0), make_parity_step(1)
 
-        def process(img, i, key, parity, scale):
-            # noise is drawn at canvas resolution then tiled, so results are
-            # bit-identical regardless of the tile-chunk (batch_size) setting
-            noise_canvas = jax.random.normal(key, canvas_shape, jnp.float32)
-            tiles = extract_tiles(img, geom, parity)
-            tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
-            noise, _ = pad_tiles_to_multiple(
-                extract_tiles(noise_canvas, geom, parity), chunk)
-            is_last = i == n_steps - 1
-            lt = label_tiles[parity]
+            def step(img, i):
+                img = jax.lax.cond(
+                    i % 2 == 0,
+                    lambda im: even_step(params, im, cond_tiles[0],
+                                         label_tiles[0], rng, i),
+                    lambda im: odd_step(params, im, cond_tiles[1],
+                                        label_tiles[1], rng, i),
+                    img)
+                return img, (img if capture_trajectory else None)
 
-            def chunk_fn(xs, cs, ns, *maybe_label):
-                lb = maybe_label[0] if maybe_label else None
-                nx, _ = self.p_sample_tiles(
-                    params, xs, cs, lb, ns, table[i], table[i + 1],
-                    mode, scale, is_last)
-                return nx
-
-            args = (tiles, cond_tiles[parity], noise)
-            if lt is not None:
-                args = args + (lt,)
-            out = chunked_map(chunk_fn, n_chunks[parity], *args)
-            return scatter_tiles(img, out[:n_orig], geom, parity)
-
-        def step(img, i):
-            key = jax.random.fold_in(rng, i)
-            key_t, key_m = jax.random.split(key)
-            scale = self._step_scale(i, mode, cond_scale, guidance_start_steps,
-                                     class_cond_scale, class_guidance_start_steps)
-
-            img = jax.lax.cond(
-                i % 2 == 0,
-                lambda im: process(im, i, key_t, 0, scale),
-                lambda im: self._odd_step(im, i, key_t, key_m, process, scale,
-                                          table, interior_mask, n_steps),
-                img)
-            return img, (img if capture_trajectory else None)
-
-        idxs = jnp.arange(generation_start_steps, n_steps)
-        img, traj = jax.lax.scan(step, img, idxs)
+            img, traj = jax.lax.scan(step, img, jnp.arange(
+                generation_start_steps, n_steps))
 
         left, top, right, bottom = geom.crop
         out = img[:, top:bottom, left:right, :]
@@ -278,18 +299,6 @@ class ContinuousDiffusion:
         if capture_trajectory:
             return out, traj
         return out
-
-    def _odd_step(self, img, i, key_t, key_m, process, scale, table,
-                  interior_mask, n_steps):
-        img = process(img, i, key_t, 1, scale)
-        if interior_mask is not None:
-            # margin := q_sample(zeros, t_next) = sigma_next * fresh noise
-            # (model.py:3392-3396); runs on every odd step incl. the final one,
-            # like the reference (the crop region never overlaps the margin).
-            sigma_next = jnp.sqrt(jax.nn.sigmoid(-table[i + 1]))
-            fresh = jax.random.normal(key_m, img.shape, jnp.float32) * sigma_next
-            img = img * interior_mask + fresh * (1.0 - interior_mask)
-        return img
 
     # ------------------------------------------------------------------
     # Training loss. Parity: model.py:3449-3495 (+2992-3051 unconditional).

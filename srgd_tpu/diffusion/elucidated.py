@@ -29,7 +29,8 @@ import numpy as np
 from srgd_tpu.diffusion.base import (
     GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, chunked_map,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
-    resolve_guidance_mode, unnormalize_to_zero_to_one,
+    prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
+    unnormalize_to_zero_to_one,
 )
 from srgd_tpu.diffusion.schedules import EDMParams
 from srgd_tpu.tiling import (
@@ -48,6 +49,9 @@ class ElucidatedDiffusion:
     class_cond_drop_prob: float = 0.0
     use_dpmpp_solver: bool = False
     loss_type: str = 'l2'
+
+    def __post_init__(self):
+        self._jit_cache = {}
 
     # ------------------------------------------------------------------
     def net_apply(self, params, x, time_b, cond, class_label, class_mask):
@@ -228,7 +232,7 @@ class ElucidatedDiffusion:
                      class_cond_scale=1.0, class_guidance_start_steps=0,
                      generation_start_steps=0, num_sample_steps=None,
                      clamp=True, zero_init=False, start_white_noise=True,
-                     capture_trajectory=False):
+                     capture_trajectory=False, host_loop=False):
         n = num_sample_steps or self.num_sample_steps
         b, h, w, ch = condition_x.shape
         geom = make_geometry(h, w, tile_size, tile_stride)
@@ -249,95 +253,107 @@ class ElucidatedDiffusion:
         else:
             img = sig[0] * jax.random.normal(init_key, canvas_shape, jnp.float32)
 
-        cond_zeroed = zero_margin(cond_padded, geom)
-        n_tiles = (geom.n_tiles_even * b, geom.n_tiles_odd * b)
-        chunk = max(1, min(batch_size, max(n_tiles)))
-        cond_tiles, label_tiles, n_chunks = [], [], []
-        for parity in (0, 1):
-            ct, _ = pad_tiles_to_multiple(
-                extract_tiles(cond_zeroed, geom, parity), chunk)
-            cond_tiles.append(ct)
-            n_chunks.append(ct.shape[0] // chunk)
-            if class_label is not None:
-                lt = jnp.repeat(class_label, n_tiles[parity] // b)
-                label_tiles.append(jnp.pad(lt, (0, ct.shape[0] - lt.shape[0])))
-            else:
-                label_tiles.append(None)
+        cond_tiles, label_tiles, n_chunks, chunk, interior_mask = \
+            prepare_tile_context(cond_padded, geom, b, batch_size, class_label)
 
-        if geom.has_margin:
-            it, il, ib, ir = geom.interior
-            interior_mask = jnp.zeros((1, geom.padded_h, geom.padded_w, 1),
-                                      jnp.float32).at[:, it:ib, il:ir, :].set(1.0)
-        else:
-            interior_mask = None
-
-        def scale_at(i):
-            cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
-            ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
-            return cs if mode == GUIDANCE_COND else ccs
-
-        def process(img, i, key, parity, second_order: bool):
-            """Churn-noise the canvas, Heun-update its tiles, scatter back.
+        def make_parity_step(parity: int, second_order: bool):
+            """Churn-noise the canvas, Heun-update its tiles, scatter back,
+            then (odd steps) re-noise the margin.
 
             The reference draws eps and forms images_hat at canvas level
             before tiling (model.py:2392-2395); identical here.
             """
-            e = self.edm
-            sigma, sigma_next, gamma = sig[i], sig[i + 1], gam[i]
-            eps = e.S_noise * jax.random.normal(key, canvas_shape, jnp.float32)
-            sigma_hat = sigma + gamma * sigma
-            img_hat = img + jnp.sqrt(jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0)) * eps
 
-            tiles = extract_tiles(img_hat, geom, parity)
-            tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
-            lt = label_tiles[parity]
-            scale = scale_at(i)
-
-            def chunk_fn(xs, cs, *maybe_label):
-                lb = maybe_label[0] if maybe_label else None
-                den = self.precond_denoise(params, xs, sigma_hat, cs, lb,
-                                           mode, scale, clamp)
-                d = (xs - den) / sigma_hat
-                x_next = xs + (sigma_next - sigma_hat) * d
-                if second_order:
-                    den2 = self.precond_denoise(params, x_next, sigma_next, cs,
-                                                lb, mode, scale, clamp)
-                    d2 = (x_next - den2) / sigma_next
-                    x_next = xs + 0.5 * (sigma_next - sigma_hat) * (d + d2)
-                return x_next
-
-            args = (tiles, cond_tiles[parity])
-            if lt is not None:
-                args = args + (lt,)
-            out = chunked_map(chunk_fn, n_chunks[parity], *args)
-            return scatter_tiles(img, out[:n_orig], geom, parity)
-
-        def renoise_margin(img, key_m, i):
-            # margin := zeros + sigmas[i]*noise (model.py:2454-2458 uses
-            # get_noised_images(zeros, i) — the CURRENT step index)
-            fresh = sig[i] * jax.random.normal(key_m, img.shape, jnp.float32)
-            return img * interior_mask + fresh * (1.0 - interior_mask)
-
-        def make_step(second_order: bool):
-            def step(img, i):
+            def pstep(params, img, ctiles, ltiles, rng, i):
+                e = self.edm
                 key = jax.random.fold_in(rng, i)
                 key_t, key_m = jax.random.split(key)
-                img = jax.lax.cond(
-                    i % 2 == 0,
-                    lambda im: process(im, i, key_t, 0, second_order),
-                    lambda im: (lambda updated: renoise_margin(updated, key_m, i)
-                                if interior_mask is not None else updated)(
-                        process(im, i, key_t, 1, second_order)),
-                    img)
-                return img, (img if capture_trajectory else None)
-            return step
+                cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
+                ccs = jnp.where(i < class_guidance_start_steps, 1.0,
+                                class_cond_scale)
+                scale = cs if mode == GUIDANCE_COND else ccs
+
+                sigma, sigma_next, gamma = sig[i], sig[i + 1], gam[i]
+                eps = e.S_noise * jax.random.normal(key_t, canvas_shape,
+                                                    jnp.float32)
+                sigma_hat = sigma + gamma * sigma
+                img_hat = img + jnp.sqrt(
+                    jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0)) * eps
+
+                tiles = extract_tiles(img_hat, geom, parity)
+                tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
+
+                def chunk_fn(xs, cs_, *maybe_label):
+                    lb = maybe_label[0] if maybe_label else None
+                    den = self.precond_denoise(params, xs, sigma_hat, cs_, lb,
+                                               mode, scale, clamp)
+                    d = (xs - den) / sigma_hat
+                    x_next = xs + (sigma_next - sigma_hat) * d
+                    if second_order:
+                        den2 = self.precond_denoise(params, x_next, sigma_next,
+                                                    cs_, lb, mode, scale, clamp)
+                        d2 = (x_next - den2) / sigma_next
+                        x_next = xs + 0.5 * (sigma_next - sigma_hat) * (d + d2)
+                    return x_next
+
+                args = (tiles, ctiles)
+                if ltiles is not None:
+                    args = args + (ltiles,)
+                out = chunked_map(chunk_fn, n_chunks[parity], *args)
+                img = scatter_tiles(img, out[:n_orig], geom, parity)
+
+                if parity == 1 and interior_mask is not None:
+                    # margin := zeros + sigmas[i]*noise (model.py:2454-2458
+                    # uses get_noised_images(zeros, i) — the CURRENT step)
+                    fresh = sig[i] * jax.random.normal(key_m, img.shape,
+                                                       jnp.float32)
+                    img = img * interior_mask + fresh * (1.0 - interior_mask)
+                return img
+
+            return pstep
 
         start = generation_start_steps
-        traj = None
-        if start < n - 1:
-            img, traj = jax.lax.scan(make_step(True), img,
-                                     jnp.arange(start, n - 1))
-        img, _ = make_step(False)(img, jnp.asarray(n - 1))
+        if host_loop:
+            cache_key = ('edm', geom, n, mode, cond_scale, class_cond_scale,
+                         guidance_start_steps, class_guidance_start_steps,
+                         chunk, tuple(n_chunks), class_label is None, b,
+                         clamp, self.edm)
+            builders = {('heun', 0): lambda: make_parity_step(0, True),
+                        ('heun', 1): lambda: make_parity_step(1, True),
+                        ('final', 0): lambda: make_parity_step(0, False),
+                        ('final', 1): lambda: make_parity_step(1, False)}
+            select = lambda i: (('heun' if i < n - 1 else 'final', i % 2), i % 2)
+            img, traj = run_tiled_host_loop(
+                self._jit_cache, cache_key, builders, select, params, img,
+                cond_tiles, label_tiles, rng, range(start, n),
+                capture_trajectory)
+            if capture_trajectory:
+                left, top, right, bottom = geom.crop
+                out = img[:, top:bottom, left:right, :]
+                out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))
+                return out, traj
+        else:
+            heun = (make_parity_step(0, True), make_parity_step(1, True))
+            final = (make_parity_step(0, False), make_parity_step(1, False))
+
+            def step(img, i):
+                img = jax.lax.cond(
+                    i % 2 == 0,
+                    lambda im: heun[0](params, im, cond_tiles[0],
+                                       label_tiles[0], rng, i),
+                    lambda im: heun[1](params, im, cond_tiles[1],
+                                       label_tiles[1], rng, i),
+                    img)
+                return img, (img if capture_trajectory else None)
+
+            traj = None
+            if start < n - 1:
+                img, traj = jax.lax.scan(step, img, jnp.arange(start, n - 1))
+            i_last = n - 1
+            p_last = i_last % 2
+            img = final[p_last](params, img, cond_tiles[p_last],
+                                label_tiles[p_last], rng,
+                                jnp.asarray(i_last, jnp.int32))
 
         left, top, right, bottom = geom.crop
         out = img[:, top:bottom, left:right, :]

@@ -29,7 +29,8 @@ from srgd_tpu.diffusion import schedules
 from srgd_tpu.diffusion.base import (
     GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, chunked_map,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
-    resolve_guidance_mode, unnormalize_to_zero_to_one,
+    prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
+    unnormalize_to_zero_to_one,
 )
 from srgd_tpu.tiling import (
     extract_tiles, make_geometry, reflect_pad, scatter_tiles, zero_margin,
@@ -77,6 +78,7 @@ class GaussianDiffusion:
             self.sampling_timesteps = self.timesteps
         assert self.sampling_timesteps <= self.timesteps
         self.is_ddim_sampling = self.sampling_timesteps < self.timesteps
+        self._jit_cache = {}
 
     # ------------------------------------------------------------------
     def net_apply(self, params, x, time_b, cond, class_label, class_mask):
@@ -257,7 +259,8 @@ class GaussianDiffusion:
                      cond_scale=1.0, guidance_start_steps=0,
                      class_cond_scale=1.0, class_guidance_start_steps=0,
                      generation_start_steps=0, num_sample_steps=None,
-                     start_white_noise=True, capture_trajectory=False):
+                     start_white_noise=True, capture_trajectory=False,
+                     host_loop=False):
         n_steps = num_sample_steps or self.sampling_timesteps
         b, h, w, ch = condition_x.shape
         geom = make_geometry(h, w, tile_size, tile_stride)
@@ -277,81 +280,81 @@ class GaussianDiffusion:
         else:
             img = jax.random.normal(init_key, canvas_shape, jnp.float32)
 
-        cond_zeroed = zero_margin(cond_padded, geom)
-        n_tiles = (geom.n_tiles_even * b, geom.n_tiles_odd * b)
-        chunk = max(1, min(batch_size, max(n_tiles)))
-        cond_tiles, label_tiles, n_chunks = [], [], []
-        for parity in (0, 1):
-            ct, _ = pad_tiles_to_multiple(
-                extract_tiles(cond_zeroed, geom, parity), chunk)
-            cond_tiles.append(ct)
-            n_chunks.append(ct.shape[0] // chunk)
-            if class_label is not None:
-                lt = jnp.repeat(class_label, n_tiles[parity] // b)
-                label_tiles.append(jnp.pad(lt, (0, ct.shape[0] - lt.shape[0])))
-            else:
-                label_tiles.append(None)
+        cond_tiles, label_tiles, n_chunks, chunk, interior_mask = \
+            prepare_tile_context(cond_padded, geom, b, batch_size, class_label)
 
-        if geom.has_margin:
-            it, il, ib, ir = geom.interior
-            interior_mask = jnp.zeros((1, geom.padded_h, geom.padded_w, 1),
-                                      jnp.float32).at[:, it:ib, il:ir, :].set(1.0)
-        else:
-            interior_mask = None
+        def make_parity_step(parity: int):
+            def pstep(params, img, ctiles, ltiles, rng, i):
+                time, time_next = pairs[i, 0], pairs[i, 1]
+                key = jax.random.fold_in(rng, i)
+                key_t, key_m = jax.random.split(key)
+                cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
+                ccs = jnp.where(i < class_guidance_start_steps, 1.0,
+                                class_cond_scale)
+                scale = cs if mode == GUIDANCE_COND else ccs
 
-        def process(img, key, parity, time, time_next, scale):
-            noise_canvas = jax.random.normal(key, canvas_shape, jnp.float32)
-            tiles = extract_tiles(img, geom, parity)
-            tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
-            noise, _ = pad_tiles_to_multiple(
-                extract_tiles(noise_canvas, geom, parity), chunk)
-            lt = label_tiles[parity]
+                noise_canvas = jax.random.normal(key_t, canvas_shape, jnp.float32)
+                tiles = extract_tiles(img, geom, parity)
+                tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
+                noise, _ = pad_tiles_to_multiple(
+                    extract_tiles(noise_canvas, geom, parity), chunk)
 
-            def chunk_fn(xs, cs, ns, *maybe_label):
-                lb = maybe_label[0] if maybe_label else None
-                nx, _ = self.ddim_step(params, xs, time, time_next, cs, lb,
-                                       ns, mode, scale)
-                return nx
+                def chunk_fn(xs, cs_, ns, *maybe_label):
+                    lb = maybe_label[0] if maybe_label else None
+                    nx, _ = self.ddim_step(params, xs, time, time_next, cs_,
+                                           lb, ns, mode, scale)
+                    return nx
 
-            args = (tiles, cond_tiles[parity], noise)
-            if lt is not None:
-                args = args + (lt,)
-            out = chunked_map(chunk_fn, n_chunks[parity], *args)
-            return scatter_tiles(img, out[:n_orig], geom, parity)
+                args = (tiles, ctiles, noise)
+                if ltiles is not None:
+                    args = args + (ltiles,)
+                out = chunked_map(chunk_fn, n_chunks[parity], *args)
+                img = scatter_tiles(img, out[:n_orig], geom, parity)
 
-        def odd_tail(img, key_m, time_next):
-            if interior_mask is None:
+                if parity == 1 and interior_mask is not None:
+                    # margin := q_sample(zeros, t_next) = sqrt(1-ac[t_next]) *
+                    # noise (model.py:1205-1210); skipped on the terminal step,
+                    # where the reference `continue`s first (model.py:1197-1203)
+                    s = self.sched
+                    coeff = s.sqrt_one_minus_alphas_cumprod[
+                        jnp.maximum(time_next, 0)]
+                    coeff = jnp.where(time_next < 0, 0.0, coeff)
+                    fresh = jax.random.normal(key_m, img.shape, jnp.float32) * coeff
+                    stale = img * (1.0 - interior_mask)
+                    renoised = jnp.where(time_next < 0, stale,
+                                         fresh * (1.0 - interior_mask))
+                    img = img * interior_mask + renoised
                 return img
-            # margin := q_sample(zeros, t_next) = sqrt(1-ac[t_next]) * noise
-            # (model.py:1205-1210); skipped on the terminal step, where the
-            # reference `continue`s before re-noising (model.py:1197-1203)
-            s = self.sched
-            coeff = s.sqrt_one_minus_alphas_cumprod[jnp.maximum(time_next, 0)]
-            coeff = jnp.where(time_next < 0, 0.0, coeff)
-            fresh = jax.random.normal(key_m, img.shape, jnp.float32) * coeff
-            stale = img * (1.0 - interior_mask)
-            renoised = jnp.where(time_next < 0, stale, fresh * (1.0 - interior_mask))
-            return img * interior_mask + renoised
 
-        def step(img, inp):
-            i, time, time_next = inp
-            key = jax.random.fold_in(rng, i)
-            key_t, key_m = jax.random.split(key)
-            cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
-            ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
-            scale = cs if mode == GUIDANCE_COND else ccs
-            img = jax.lax.cond(
-                i % 2 == 0,
-                lambda im: process(im, key_t, 0, time, time_next, scale),
-                lambda im: odd_tail(process(im, key_t, 1, time, time_next, scale),
-                                    key_m, time_next),
-                img)
-            return img, (img if capture_trajectory else None)
+            return pstep
 
-        idxs = jnp.arange(generation_start_steps, n_steps)
-        img, traj = jax.lax.scan(
-            step, img, (idxs, pairs[generation_start_steps:, 0],
-                        pairs[generation_start_steps:, 1]))
+        indices = range(generation_start_steps, n_steps)
+        if host_loop:
+            cache_key = ('gauss', geom, n_steps, self.timesteps, mode,
+                         cond_scale, class_cond_scale, guidance_start_steps,
+                         class_guidance_start_steps, chunk, tuple(n_chunks),
+                         class_label is None, b, self.beta_schedule,
+                         self.objective)
+            img, traj = run_tiled_host_loop(
+                self._jit_cache, cache_key,
+                {0: lambda: make_parity_step(0), 1: lambda: make_parity_step(1)},
+                lambda i: (i % 2, i % 2), params, img, cond_tiles, label_tiles,
+                rng, indices, capture_trajectory)
+        else:
+            even_step, odd_step = make_parity_step(0), make_parity_step(1)
+
+            def step(img, i):
+                img = jax.lax.cond(
+                    i % 2 == 0,
+                    lambda im: even_step(params, im, cond_tiles[0],
+                                         label_tiles[0], rng, i),
+                    lambda im: odd_step(params, im, cond_tiles[1],
+                                        label_tiles[1], rng, i),
+                    img)
+                return img, (img if capture_trajectory else None)
+
+            img, traj = jax.lax.scan(
+                step, img, jnp.arange(generation_start_steps, n_steps))
 
         left, top, right, bottom = geom.crop
         out = img[:, top:bottom, left:right, :]

@@ -122,7 +122,10 @@ def load_params(conf: Config, net: SRUnet, ckpt_path: Optional[str] = None,
         kwargs = {}
         if 'conditional' in conf.model:
             kwargs['class_label'] = jnp.zeros((1,), jnp.int32)
-        params = net.init(rng, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)), **kwargs)
+        # init under jit: eager init dispatches each op separately, which is
+        # pathological through remote-compile TPU relays (minutes vs seconds)
+        params = jax.jit(lambda k: net.init(
+            k, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)), **kwargs))(rng)
         logger.info('randomly initialized params (no ckpt_path)')
 
     if conf.param_dtype == 'bfloat16':

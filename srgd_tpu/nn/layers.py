@@ -161,12 +161,21 @@ class Block(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
         x = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype, name='proj')(x)
         scale = self.param('norm_scale', nn.initializers.ones, (self.dim_out,), jnp.float32)
         bias = self.param('norm_bias', nn.initializers.zeros, (self.dim_out,), jnp.float32)
+        if self.use_pallas:
+            from srgd_tpu.kernels.groupnorm_silu import fused_groupnorm_silu
+            film = None
+            if scale_shift is not None:
+                s, sh = scale_shift
+                film = jnp.stack([s[:, 0, 0, :], sh[:, 0, 0, :]], axis=1)
+            return fused_groupnorm_silu(x, scale, bias, film,
+                                        groups=self.groups).astype(self.dtype)
         x = group_norm(x, scale, bias, num_groups=self.groups)
         if scale_shift is not None:
             s, sh = scale_shift
@@ -187,6 +196,7 @@ class ResnetBlock(nn.Module):
     time_emb_dim: Optional[int] = None
     groups: int = 8
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, time_emb=None):
@@ -197,9 +207,11 @@ class ResnetBlock(nn.Module):
             t = t[:, None, None, :]
             scale_shift = jnp.split(t, 2, axis=-1)
 
-        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name='block1')(
+        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype,
+                  use_pallas=self.use_pallas, name='block1')(
             x, scale_shift=scale_shift)
-        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name='block2')(h)
+        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype,
+                  use_pallas=self.use_pallas, name='block2')(h)
 
         if self.dim != self.dim_out:
             res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name='res_conv')(x)

@@ -120,7 +120,7 @@ class SRUnet(nn.Module):
 
         block = lambda d_in, d_out, name: ResnetBlock(
             d_in, d_out, time_emb_dim=time_dim, groups=groups, dtype=self.dtype,
-            name=name)
+            use_pallas=self.use_pallas, name=name)
 
         hs = []
         for i, (d_in, d_out) in enumerate(in_out):
@@ -162,7 +162,8 @@ class SRUnet(nn.Module):
 
         x = jnp.concatenate([x, r], axis=-1)
         x = ResnetBlock(dim * 2, dim, time_emb_dim=time_dim, groups=groups,
-                        dtype=self.dtype, name='final_res_block')(x, t)
+                        dtype=self.dtype, use_pallas=self.use_pallas,
+                        name='final_res_block')(x, t)
 
         out_dim = self.out_dim or self.channels * (2 if self.learned_variance else 1)
         x = nn.Conv(out_dim, (1, 1), dtype=self.dtype, name='final_conv')(x)

