@@ -131,26 +131,36 @@ class ContinuousDiffusion:
                class_cond_scale: float = 1.0, class_guidance_start_steps: int = 0,
                generation_start_steps: int = 0,
                num_sample_steps: Optional[int] = None,
-               capture_trajectory: bool = False):
+               capture_trajectory: bool = False,
+               init_noise=None, step_noises=None):
         """condition_x: (B,H,W,C) in [0,1]. Returns image(s) in [0,1]
-        (and the trajectory stack if requested)."""
+        (and the trajectory stack if requested).
+
+        init_noise (B,H,W,C) / step_noises (N,B,H,W,C) override the internal
+        RNG for golden-parity testing against external references (the
+        noise-override hook SURVEY.md section 7 calls for)."""
         n_steps = num_sample_steps or self.num_sample_steps
         cond = normalize_to_neg_one_to_one(condition_x)
         table = jnp.asarray(self.log_snr_table(n_steps))
         mode = resolve_guidance_mode(cond_scale, class_cond_scale)
 
         rng, init_key = jax.random.split(rng)
+        if init_noise is None:
+            init_noise = jax.random.normal(init_key, cond.shape, jnp.float32)
         if generation_start_steps > 0:
-            noise = jax.random.normal(init_key, cond.shape, jnp.float32)
-            img = self.q_sample_log_snr(cond, table[generation_start_steps], noise)
+            img = self.q_sample_log_snr(cond, table[generation_start_steps],
+                                        init_noise)
         else:
-            img = jax.random.normal(init_key, cond.shape, jnp.float32)
+            img = init_noise
 
         def step(img, i):
             key = jax.random.fold_in(rng, i)
             scale = self._step_scale(i, mode, cond_scale, guidance_start_steps,
                                      class_cond_scale, class_guidance_start_steps)
-            noise = jax.random.normal(key, img.shape, jnp.float32)
+            if step_noises is None:
+                noise = jax.random.normal(key, img.shape, jnp.float32)
+            else:
+                noise = step_noises[i]
             img, x_start = self.p_sample_tiles(
                 params, img, cond, class_label, noise,
                 table[i], table[i + 1], mode, scale, is_last=(i == n_steps - 1))

@@ -58,6 +58,12 @@ def parse_args(argv=None):
     p.add_argument('--matmul_precision', type=str, default='default',
                    choices=['default', 'high', 'highest'])
     p.add_argument('--tile_size', type=int, default=256)
+    p.add_argument('--exec_mode', type=str, default='host',
+                   choices=['host', 'scan'],
+                   help='host: per-step jitted loop (required on remote-compile '
+                        'TPU deployments); scan: single jitted lax.scan program')
+    p.add_argument('--use_pallas', action='store_true',
+                   help='enable fused Pallas kernels (TPU only)')
     return p.parse_args(argv)
 
 
@@ -94,23 +100,26 @@ class SamplerCache:
     def sample(self, cond_np: np.ndarray, label, seed: int) -> np.ndarray:
         import jax
         import jax.numpy as jnp
-        key = (cond_np.shape, self.opts['num_sample_steps'])
-        if key not in self._cache:
-            o = self.opts
-            fn = partial(self.wrapper.tiled_sample,
-                         batch_size=o['batch_size'], tile_size=o['tile_size'],
-                         cond_scale=o['cond_scale'],
-                         guidance_start_steps=o['guidance_start_steps'],
-                         class_cond_scale=o['class_cond_scale'],
-                         class_guidance_start_steps=o['class_guidance_start_steps'],
-                         generation_start_steps=o['generation_start_steps'],
-                         num_sample_steps=o['num_sample_steps'])
-            if label is None:
-                jitted = jax.jit(lambda p, r, c: fn(p, r, c))
-            else:
-                jitted = jax.jit(lambda p, r, c, l: fn(p, r, c, l))
-            self._cache[key] = jitted
-        jitted = self._cache[key]
+        o = self.opts
+        fn = partial(self.wrapper.tiled_sample,
+                     batch_size=o['batch_size'], tile_size=o['tile_size'],
+                     cond_scale=o['cond_scale'],
+                     guidance_start_steps=o['guidance_start_steps'],
+                     class_cond_scale=o['class_cond_scale'],
+                     class_guidance_start_steps=o['class_guidance_start_steps'],
+                     generation_start_steps=o['generation_start_steps'],
+                     num_sample_steps=o['num_sample_steps'])
+        if o.get('exec_mode', 'host') == 'host':
+            # per-step jit caching happens inside the wrapper
+            jitted = (lambda p, r, c: fn(p, r, c, host_loop=True)) if label is None                 else (lambda p, r, c, l: fn(p, r, c, l, host_loop=True))
+        else:
+            key = (cond_np.shape, o['num_sample_steps'])
+            if key not in self._cache:
+                if label is None:
+                    self._cache[key] = jax.jit(lambda p, r, c: fn(p, r, c))
+                else:
+                    self._cache[key] = jax.jit(lambda p, r, c, l: fn(p, r, c, l))
+            jitted = self._cache[key]
         rng = jax.random.PRNGKey(seed)  # re-seeded per image (inference.py:81)
         cond = jnp.asarray(cond_np)
         if label is None:
@@ -179,6 +188,7 @@ def main(argv=None):
     conf.use_dpmpp_solver = args.use_dpmpp_solver
     conf.compute_dtype = {'fp32': 'float32', 'bf16': 'bfloat16'}[args.precision]
     conf.tile_size = args.tile_size
+    conf.use_pallas_kernels = args.use_pallas
 
     import jax
     if args.matmul_precision != 'default':
@@ -187,7 +197,8 @@ def main(argv=None):
     from srgd_tpu.factory import get_model
     wrapper, net, params = get_model(conf)
 
-    opts = dict(batch_size=args.batch_size, tile_size=args.tile_size,
+    opts = dict(exec_mode=args.exec_mode,
+                batch_size=args.batch_size, tile_size=args.tile_size,
                 cond_scale=args.cond_scale,
                 guidance_start_steps=args.guidance_start_steps,
                 class_cond_scale=args.class_cond_scale,

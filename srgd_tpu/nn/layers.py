@@ -233,6 +233,7 @@ class LinearAttention(nn.Module):
     heads: int = 4
     dim_head: int = 32
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -243,17 +244,35 @@ class LinearAttention(nn.Module):
         y = RMSNorm(self.dim, dtype=self.dtype, name='norm')(x)
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
                       name='to_qkv')(y)
+
+        if self.use_pallas and n % 256 == 0:
+            from srgd_tpu.kernels.linear_attention import fused_linear_attention
+            flat = qkv.reshape(b, n, 3 * hidden)
+            out = fused_linear_attention(flat[..., :hidden],
+                                         flat[..., hidden:2 * hidden],
+                                         flat[..., 2 * hidden:],
+                                         dim_head=self.dim_head)
+            out = out.reshape(b, h, w, hidden).astype(self.dtype)
+            out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name='to_out')(out)
+            return RMSNorm(self.dim, dtype=self.dtype, name='out_norm')(out)
+
         # channels are packed [q|k|v], each head-major: index = head*dim_head + c
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         q, k, v = (_f32(qkv[:, :, i]) for i in range(3))  # (b, n, heads, d)
 
         q = jax.nn.softmax(q, axis=-1)          # over channel dim d
         k = jax.nn.softmax(k, axis=1)           # over sequence n
-        q = q * (self.dim_head ** -0.5)
+        q = (q * (self.dim_head ** -0.5)).astype(self.dtype)
+        k = k.astype(self.dtype)
+        v = v.astype(self.dtype)
 
         # context[d, e] = sum_n k[n, d] v[n, e]; out[n, e] = sum_d context[d, e] q[n, d]
-        context = jnp.einsum('bnhd,bnhe->bhde', k, v)
-        out = jnp.einsum('bhde,bnhd->bnhe', context, q)
+        # (softmax stats in f32; the big einsum operands in compute dtype so the
+        # MXU contraction streams bf16 instead of f32 materializations)
+        context = jnp.einsum('bnhd,bnhe->bhde', k, v,
+                             preferred_element_type=jnp.float32)
+        out = jnp.einsum('bhde,bnhd->bnhe', context.astype(self.dtype), q,
+                         preferred_element_type=jnp.float32)
         out = out.reshape(b, h, w, hidden).astype(self.dtype)
 
         out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name='to_out')(out)

@@ -64,7 +64,8 @@ class SRUnet(nn.Module):
     pixel_shuffle_upsample: bool = True
     num_classes: Optional[int] = None
     dtype: Dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: bool = False            # fused GN+SiLU and linear attention
+    use_pallas_attention: bool = False  # flash kernel for full attention
     remat: bool = False
 
     @property
@@ -74,9 +75,11 @@ class SRUnet(nn.Module):
     def _attn(self, dim, is_full, name):
         if is_full:
             return Attention(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
-                             dtype=self.dtype, use_pallas=self.use_pallas, name=name)
+                             dtype=self.dtype,
+                             use_pallas=self.use_pallas_attention, name=name)
         return LinearAttention(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
-                               dtype=self.dtype, name=name)
+                               dtype=self.dtype, use_pallas=self.use_pallas,
+                               name=name)
 
     @nn.compact
     def __call__(self, x, time, cond=None, class_label=None, class_mask=None):

@@ -53,7 +53,14 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logger.info('model %s: %.1fM params', conf.model, n_params / 1e6)
 
-    mesh = make_mesh(mesh_shape) if mesh_shape else make_mesh()
+    if mesh_shape:
+        mesh = make_mesh(mesh_shape)
+    else:
+        # data axis must divide the global batch
+        import math as _math
+        n_dev = len(jax.devices())
+        dp = _math.gcd(conf.batch_size, n_dev)
+        mesh = make_mesh((dp, 1), devices=jax.devices()[:dp])
     params = shard_params(params, mesh)
     optimizer = make_optimizer(conf, steps_per_epoch=max(total_steps // max(conf.epochs, 1), 1))
     state = create_train_state(params, optimizer)

@@ -1,0 +1,115 @@
+"""Training subsystem tests: degradation data pipeline, optimizer/EMA,
+end-to-end loop with checkpoint save/resume, metrics."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    for i in range(3):
+        arr = rng.integers(0, 255, size=(96, 80, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f'im{i}.png')
+    return d
+
+
+def test_degrade_classes(image_dir):
+    from srgd_tpu.train.data import CLASS_DENOISE, CLASS_REALSR, CLASS_SR, degrade
+    rng = np.random.default_rng(1)
+    hr = np.asarray(Image.open(image_dir / 'im0.png'))[:64, :64]
+    for label in (CLASS_REALSR, CLASS_DENOISE, CLASS_SR):
+        out = degrade(hr, label, rng)
+        assert out.shape == hr.shape and out.dtype == np.uint8
+    # sr-class degradation is deterministic bicubic down-up
+    a = degrade(hr, CLASS_SR, np.random.default_rng(2))
+    b = degrade(hr, CLASS_SR, np.random.default_rng(3))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dataset_batches(image_dir):
+    from srgd_tpu.train.data import DegradationDataset
+    ds = DegradationDataset(str(image_dir), crop_size=32, batch_size=4,
+                            num_workers=1, seed=0)
+    it = iter(ds)
+    hr, cond, label = next(it)
+    assert hr.shape == (4, 32, 32, 3) and cond.shape == (4, 32, 32, 3)
+    assert hr.dtype == np.float32 and hr.min() >= 0 and hr.max() <= 1
+    assert label.shape == (4,) and set(label) <= {0, 1, 2}
+
+
+def test_dataset_missing_dir(tmp_path):
+    from srgd_tpu.train.data import DegradationDataset
+    with pytest.raises(FileNotFoundError):
+        DegradationDataset(str(tmp_path / 'nope'))
+
+
+def test_ema_update():
+    from srgd_tpu.train.ema import ema_update
+    ema = {'w': jnp.ones((3,))}
+    new = {'w': jnp.zeros((3,))}
+    out = ema_update(ema, new, 0.9)
+    np.testing.assert_allclose(np.asarray(out['w']), 0.9)
+
+
+def test_lr_schedule():
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.trainer import make_lr_schedule
+    conf = Config(lr=1e-4, min_lr=1e-7, warmup_epochs=2, epochs=10,
+                  warmup_lr_init=1e-6)
+    sched = make_lr_schedule(conf, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-6, rel=1e-3)
+    assert float(sched(20)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(sched(100)) == pytest.approx(1e-7, rel=1e-2)
+
+
+def test_train_loop_end_to_end(image_dir, tmp_path):
+    """Full trainer: data -> steps -> checkpoint -> resume."""
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.loop import train
+
+    conf = Config(model='conditional_continuous', unet_dim=8,
+                  ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                  hr_image_size=16, batch_size=2, num_workers=1,
+                  epochs=1, warmup_epochs=0, ema_decay=0.9, seed=0)
+    out_dir = str(tmp_path / 'run')
+    state = train(conf, str(image_dir), out_dir, total_steps=3,
+                  log_every=1, save_every=2)
+    assert int(state.step) == 3
+    assert os.path.isdir(os.path.join(out_dir, 'ckpt'))
+
+    # resume continues from the saved step
+    state2 = train(conf, str(image_dir), out_dir, total_steps=4,
+                   log_every=1, save_every=10)
+    assert int(state2.step) == 4
+
+
+def test_metrics():
+    from srgd_tpu.utils.metrics import psnr, ssim
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    assert float(psnr(a, a)) > 100
+    assert float(ssim(a, a)) == pytest.approx(1.0, abs=1e-5)
+    noisy = jnp.clip(a + 0.1 * rng.normal(size=a.shape).astype(np.float32), 0, 1)
+    p = float(psnr(a, noisy))
+    assert 15 < p < 25  # sigma 0.1 -> ~20 dB
+    assert 0 < float(ssim(a, noisy)) < 1
+
+
+def test_phase_timer():
+    from srgd_tpu.utils.profiling import PhaseTimer
+    t = PhaseTimer()
+    with t.phase('a'):
+        pass
+    with t.phase('a'):
+        pass
+    assert t.counts['a'] == 2 and 'a:' in t.report()
