@@ -193,13 +193,43 @@ def load_torch_checkpoint(path: str):
     return {k: v for k, v in sd.items()}
 
 
+_LEARNED_LOG_SNR_KEYS = {
+    'log_snr.net.1.net.weight': ('l1', 'kernel'),
+    'log_snr.net.1.net.bias': ('l1', 'bias'),
+    'log_snr.net.2.fn.0.net.weight': ('l2', 'kernel'),
+    'log_snr.net.2.fn.0.net.bias': ('l2', 'bias'),
+    'log_snr.net.2.fn.2.net.weight': ('l3', 'kernel'),
+    'log_snr.net.2.fn.2.net.bias': ('l3', 'bias'),
+}
+
+
+def convert_learned_log_snr(extras: dict, dtype=np.float32):
+    """Learned monotonic schedule net (MonotonicLinear stack,
+    /root/reference/model.py:2614-2676; torch keys via Sequential/Residual
+    nesting: log_snr.net.{1,2.fn.0,2.fn.2}.net.{weight,bias})."""
+    out: dict = {}
+    for tk, (layer, leaf) in _LEARNED_LOG_SNR_KEYS.items():
+        if tk in extras:
+            arr = _to_numpy(extras[tk])
+            if leaf == 'kernel':
+                arr = dense_kernel(arr)
+            out.setdefault(layer, {})[leaf] = np.asarray(arr, dtype)
+    return out or None
+
+
 def convert_checkpoint(path: str, num_stages: int = 4, dtype=np.float32,
                        strict: bool = True):
-    """Full pipeline: .pth -> {'params': flax unet params}."""
+    """Full pipeline: .pth -> {'params': flax unet params[, 'log_snr': ...]}."""
     sd = load_torch_checkpoint(path)
     unet_sd, extras = strip_wrapper_prefix(sd)
     extras = {k: v for k, v in extras.items() if not _BUFFER_KEYS.match(k)}
     params, unmatched = convert_unet_state_dict(unet_sd, num_stages, dtype, strict=False)
     if strict and unmatched:
         raise KeyError(f'unconverted torch keys: {unmatched}')
-    return {'params': params}, unmatched, extras
+    tree = {'params': params}
+    log_snr = convert_learned_log_snr(extras, dtype)
+    if log_snr is not None:
+        tree['log_snr'] = log_snr
+        extras = {k: v for k, v in extras.items()
+                  if k not in _LEARNED_LOG_SNR_KEYS}
+    return tree, unmatched, extras

@@ -59,21 +59,43 @@ class ContinuousDiffusion:
     cond_drop_prob: float = 0.0
     class_cond_drop_prob: float = 0.0
     loss_type: str = 'l2'
+    learned_noise_schedule_frac_gradient: float = 1.0
 
     def __post_init__(self):
         self._jit_cache = {}
+        if self.noise_schedule == 'learned':
+            # sampling-time table from the learned monotonic net; jitted so
+            # host-loop setup does not dispatch eagerly on remote TPUs
+            self._learned_table = jax.jit(
+                lambda sp, steps: schedules.learned_log_snr(sp, steps))
 
     # ------------------------------------------------------------------
     def net_apply(self, params, x, time_b, cond, class_label, class_mask):
+        if isinstance(params, dict) and 'log_snr' in params:
+            params = {k: v for k, v in params.items() if k != 'log_snr'}
         return self.net.apply(params, x, time_b, cond=cond,
                               class_label=class_label, class_mask=class_mask)
 
-    def log_snr(self, t):
+    def log_snr(self, t, schedule_params=None):
+        """Continuous log-SNR; for the learned schedule, schedule_params is
+        the 'log_snr' sub-tree of the full param pytree
+        (parity: model.py:2712-2726, 3088-3102)."""
+        if self.noise_schedule == 'learned':
+            return schedules.learned_log_snr(
+                schedule_params, t,
+                frac_gradient=self.learned_noise_schedule_frac_gradient)
         return schedules.LOG_SNR_SCHEDULES[self.noise_schedule](t)
 
     def log_snr_table(self, num_steps: int) -> np.ndarray:
         steps = np.linspace(1.0, 0.0, num_steps + 1)
         return schedules.make_log_snr_table(self.noise_schedule, steps)
+
+    def table(self, params, num_steps: int):
+        """Per-step log-SNR values at linspace(1, 0, N+1) sampling times."""
+        if self.noise_schedule == 'learned':
+            steps = jnp.linspace(1.0, 0.0, num_steps + 1)
+            return self._learned_table(params['log_snr'], steps)
+        return jnp.asarray(self.log_snr_table(num_steps))
 
     # ------------------------------------------------------------------
     # Core step math
@@ -108,9 +130,9 @@ class ContinuousDiffusion:
     # ------------------------------------------------------------------
     # q(x_t | x_0)
     # ------------------------------------------------------------------
-    def q_sample(self, x_start, times, noise):
+    def q_sample(self, x_start, times, noise, schedule_params=None):
         """times: (B,) in [0,1]. Parity: model.py:3434-3447."""
-        log_snr = self.log_snr(times)
+        log_snr = self.log_snr(times, schedule_params)
         padded = log_snr.reshape(log_snr.shape + (1,) * (x_start.ndim - 1))
         alpha = jnp.sqrt(jax.nn.sigmoid(padded))
         sigma = jnp.sqrt(jax.nn.sigmoid(-padded))
@@ -131,17 +153,18 @@ class ContinuousDiffusion:
                class_cond_scale: float = 1.0, class_guidance_start_steps: int = 0,
                generation_start_steps: int = 0,
                num_sample_steps: Optional[int] = None,
-               capture_trajectory: bool = False,
+               capture_trajectory: bool = False, capture_x0: bool = False,
                init_noise=None, step_noises=None):
         """condition_x: (B,H,W,C) in [0,1]. Returns image(s) in [0,1]
-        (and the trajectory stack if requested).
+        (plus the img and/or x0 trajectory stacks if requested — the
+        reference's with_images / with_x0_images, model.py:3205-3235).
 
         init_noise (B,H,W,C) / step_noises (N,B,H,W,C) override the internal
         RNG for golden-parity testing against external references (the
         noise-override hook SURVEY.md section 7 calls for)."""
         n_steps = num_sample_steps or self.num_sample_steps
         cond = normalize_to_neg_one_to_one(condition_x)
-        table = jnp.asarray(self.log_snr_table(n_steps))
+        table = self.table(params, n_steps)
         mode = resolve_guidance_mode(cond_scale, class_cond_scale)
 
         rng, init_key = jax.random.split(rng)
@@ -164,15 +187,20 @@ class ContinuousDiffusion:
             img, x_start = self.p_sample_tiles(
                 params, img, cond, class_label, noise,
                 table[i], table[i + 1], mode, scale, is_last=(i == n_steps - 1))
-            return img, (img if capture_trajectory else None)
+            ys = (img if capture_trajectory else None,
+                  x_start if capture_x0 else None)
+            return img, ys
 
         idxs = jnp.arange(generation_start_steps, n_steps)
-        img, traj = jax.lax.scan(step, img, idxs)
+        img, (traj, x0_traj) = jax.lax.scan(step, img, idxs)
 
         out = unnormalize_to_zero_to_one(jnp.clip(img, -1.0, 1.0))
+        rets = (out,)
         if capture_trajectory:
-            return out, traj
-        return out
+            rets = rets + (traj,)
+        if capture_x0:
+            rets = rets + (x0_traj,)
+        return rets if len(rets) > 1 else out
 
     @staticmethod
     def _step_scale(i, mode, cond_scale, guidance_start_steps,
@@ -210,7 +238,7 @@ class ContinuousDiffusion:
         b, h, w, ch = condition_x.shape
         geom = make_geometry(h, w, tile_size, tile_stride)
         mode = resolve_guidance_mode(cond_scale, class_cond_scale)
-        table = jnp.asarray(self.log_snr_table(n_steps))
+        table = self.table(params, n_steps)
 
         cond = normalize_to_neg_one_to_one(condition_x)
         cond_padded = reflect_pad(cond, geom.pad)
@@ -281,7 +309,9 @@ class ContinuousDiffusion:
                          class_cond_scale, guidance_start_steps,
                          class_guidance_start_steps, chunk, tuple(n_chunks),
                          class_label is None, b, self.noise_schedule,
-                         self.clip_sample_denoised)
+                         self.clip_sample_denoised,
+                         # learned schedule: table is baked into the closure
+                         id(params) if self.noise_schedule == 'learned' else None)
             img, traj = run_tiled_host_loop(
                 self._jit_cache, cache_key,
                 {0: lambda: make_parity_step(0), 1: lambda: make_parity_step(1)},
@@ -338,7 +368,10 @@ class ContinuousDiffusion:
             drop_class = jax.random.uniform(k_d2, ()) < self.class_cond_drop_prob
             class_mask = jnp.where(drop_class, 0.0, 1.0) * jnp.ones((b,), jnp.float32)
 
-        x, log_snr = self.q_sample(x_start, times, noise)
+        x, log_snr = self.q_sample(
+            x_start, times, noise,
+            schedule_params=params.get('log_snr')
+            if isinstance(params, dict) else None)
         eps_hat = self.net_apply(params, x, log_snr, cond, class_label, class_mask)
 
         err = _elementwise_loss(eps_hat, noise, self.loss_type)

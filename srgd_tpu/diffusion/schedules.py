@@ -159,6 +159,55 @@ def jax_sigmoid(x):
     return 1.0 / (1.0 + jnp.exp(-x))
 
 
+# ---------------------------------------------------------------------------
+# Learned monotonic log-SNR schedule (VDM appendix H / I.2).
+# Parity: /root/reference/model.py:2614-2676 — MonotonicLinear applies |W|,|b|;
+# the net is x -> mono(1,1) -> residual(mono(1,h) -> sigmoid -> mono(h,1)),
+# normalized to [log_snr_max, log_snr_min] via f(0), f(1) endpoints, with a
+# frac_gradient straight-through mix.
+# ---------------------------------------------------------------------------
+
+def init_learned_log_snr(rng, hidden_dim: int = 1024):
+    """Random init matching torch nn.Linear defaults (uniform +-1/sqrt(fan_in))."""
+    import jax
+    k1, k2, k3 = jax.random.split(rng, 3)
+
+    def lin(key, fan_in, shape_w, shape_b):
+        bound = 1.0 / math.sqrt(fan_in)
+        kw, kb = jax.random.split(key)
+        return {'kernel': jax.random.uniform(kw, shape_w, jnp.float32, -bound, bound),
+                'bias': jax.random.uniform(kb, shape_b, jnp.float32, -bound, bound)}
+
+    return {'l1': lin(k1, 1, (1, 1), (1,)),
+            'l2': lin(k2, 1, (1, hidden_dim), (hidden_dim,)),
+            'l3': lin(k3, hidden_dim, (hidden_dim, 1), (1,))}
+
+
+def learned_log_snr(params, t, *, frac_gradient: float = 1.0):
+    """t: any shape. Params kernels are (in, out) (converter transposes torch)."""
+    import jax
+
+    def mono(p, x):
+        return x @ jnp.abs(p['kernel']) + jnp.abs(p['bias'])
+
+    def f(x):
+        x = x[..., None]
+        a = mono(params['l1'], x)
+        r = a + mono(params['l3'], jax.nn.sigmoid(mono(params['l2'], a)))
+        return r[..., 0]
+
+    log_snr_max = float(-np.log(np.expm1(1e-4)))          # beta_linear at t=0
+    log_snr_min = float(-np.log(np.expm1(1e-4 + 10.0)))   # beta_linear at t=1
+    slope = log_snr_min - log_snr_max
+    t = jnp.asarray(t, jnp.float32)
+    out0 = f(jnp.zeros_like(t))
+    out1 = f(jnp.ones_like(t))
+    normed = slope * ((f(t) - out0) / (out1 - out0)) + log_snr_max
+    if frac_gradient == 1.0:
+        return normed
+    return normed * frac_gradient + jax.lax.stop_gradient(normed) * (1 - frac_gradient)
+
+
 def make_log_snr_table(noise_schedule: str, times: np.ndarray) -> np.ndarray:
     """Precompute log-SNR at fixed sampling times in float64 (host-side).
 

@@ -40,9 +40,6 @@ def build_wrapper(conf: Config, net: SRUnet):
         assert conf.learned_sinusoidal_cond, \
             'continuous family requires learned_sinusoidal_cond (model.py:3617,3635)'
         conf.use_dpmpp_solver = False  # parity: model.py:3618, 3636
-        if conf.noise_schedule == 'learned':
-            raise NotImplementedError(
-                'learned noise schedule not yet implemented in srgd-tpu')
         return ContinuousDiffusion(
             net=net,
             image_size=conf.image_size,
@@ -54,6 +51,7 @@ def build_wrapper(conf: Config, net: SRUnet):
             cond_drop_prob=conf.cond_drop_prob,
             class_cond_drop_prob=conf.class_cond_drop_prob if is_conditional else 0.0,
             loss_type=conf.loss_type,
+            learned_noise_schedule_frac_gradient=conf.learned_noise_schedule_frac_gradient,
         )
 
     if conf.model in GAUSSIAN_MODELS:
@@ -126,6 +124,11 @@ def load_params(conf: Config, net: SRUnet, ckpt_path: Optional[str] = None,
         # pathological through remote-compile TPU relays (minutes vs seconds)
         params = jax.jit(lambda k: net.init(
             k, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)), **kwargs))(rng)
+        if conf.model in CONTINUOUS_MODELS and conf.noise_schedule == 'learned':
+            from srgd_tpu.diffusion.schedules import init_learned_log_snr
+            params = dict(params)
+            params['log_snr'] = init_learned_log_snr(
+                jax.random.fold_in(rng, 1), conf.learned_schedule_net_hidden_dim)
         logger.info('randomly initialized params (no ckpt_path)')
 
     if conf.param_dtype == 'bfloat16':

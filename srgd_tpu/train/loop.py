@@ -22,9 +22,32 @@ import numpy as np
 logger = logging.getLogger('srgd_tpu.train')
 
 
+def validate(conf, wrapper, params, val_dir: str, rng, num_images: int = 4):
+    """Sample with the current (EMA) params on degraded val crops and score
+    PSNR/SSIM — the metric surface the reference's config names
+    (test_target best_psnr/ssim, config.py:181) but never shipped."""
+    import jax
+    import jax.numpy as jnp
+
+    from srgd_tpu.train.data import DegradationDataset
+    from srgd_tpu.utils.metrics import psnr, ssim
+
+    conditional = 'conditional' in conf.model
+    ds = DegradationDataset(val_dir, crop_size=conf.hr_image_size,
+                            batch_size=num_images, num_workers=1,
+                            seed=conf.seed + 1,
+                            num_classes=conf.num_classes)
+    hr, cond, label = next(iter(ds))
+    hr, cond = jnp.asarray(hr), jnp.asarray(cond)
+    out = wrapper.sample(params, rng, cond,
+                         jnp.asarray(label) if conditional else None,
+                         num_sample_steps=conf.val_num_sample_steps)
+    return float(psnr(out, hr)), float(ssim(out, hr))
+
+
 def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
           log_every: int = 50, save_every: int = 500, mesh_shape=None,
-          resume: bool = True):
+          resume: bool = True, val_dir: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -80,6 +103,7 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
 
     os.makedirs(out_dir, exist_ok=True)
     losses = []
+    best_psnr = -1.0
     t0 = time.time()
     it = iter(ds)
     with mesh:
@@ -104,6 +128,16 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
                     'ema_params': jax.device_get(state.ema_params),
                     'step': step})
                 logger.info('saved checkpoint at step %d -> %s', step, ckpt_dir)
+                if val_dir and not conf.skip_val:
+                    p, s_ = validate(conf, wrapper, state.ema_params, val_dir,
+                                     jax.random.fold_in(rng, step))
+                    logger.info('val @%d: PSNR %.2f dB  SSIM %.4f', step, p, s_)
+                    if p > best_psnr:
+                        best_psnr = p
+                        save_params(os.path.join(out_dir, 'ckpt_best_psnr'), {
+                            'params': jax.device_get(state.params),
+                            'ema_params': jax.device_get(state.ema_params),
+                            'step': step})
     return state
 
 
@@ -118,6 +152,7 @@ def main(argv=None):
     p.add_argument('--log_every', type=int, default=50)
     p.add_argument('--save_every', type=int, default=500)
     p.add_argument('--mesh', type=str, default='')
+    p.add_argument('--val_dir', type=str, default='')
     args = p.parse_args(argv)
 
     from srgd_tpu.config import load_config
@@ -125,7 +160,7 @@ def main(argv=None):
     mesh_shape = tuple(int(x) for x in args.mesh.split(',')) if args.mesh else None
     train(conf, args.data_dir, args.out_dir, total_steps=args.steps,
           log_every=args.log_every, save_every=args.save_every,
-          mesh_shape=mesh_shape)
+          mesh_shape=mesh_shape, val_dir=args.val_dir or None)
 
 
 if __name__ == '__main__':

@@ -113,3 +113,18 @@ def test_phase_timer():
     with t.phase('a'):
         pass
     assert t.counts['a'] == 2 and 'a:' in t.report()
+
+
+def test_validate(image_dir):
+    from srgd_tpu.config import Config
+    from srgd_tpu.factory import get_model
+    from srgd_tpu.train.loop import validate
+    import jax
+    conf = Config(model='conditional_continuous', unet_dim=8,
+                  ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                  hr_image_size=16, num_sample_steps=2, val_num_sample_steps=2)
+    wrapper, net, params = get_model(conf)
+    p, s = validate(conf, wrapper, params, str(image_dir),
+                    jax.random.PRNGKey(0), num_images=2)
+    assert np.isfinite(p) and -1 <= s <= 1
