@@ -64,7 +64,9 @@ def main():
         out = wrapper.tiled_sample(params, rng, cond, label,
                                    batch_size=batch, tile_size=256,
                                    num_sample_steps=steps, host_loop=True)
-        out.block_until_ready()
+        # force a device->host transfer: block_until_ready does not reliably
+        # synchronize execution through remote-relay TPU deployments
+        float(out[0, 0, 0, 0])
         return out
 
     t0 = time.time()

@@ -15,7 +15,7 @@ The reference's CFG nulls are: LR-condition null = zeros condition image
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

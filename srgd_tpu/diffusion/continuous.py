@@ -22,10 +22,8 @@ Sampler math parity (model.py:3122-3188):
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Callable, Optional
+from dataclasses import dataclass
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,14 +31,13 @@ import numpy as np
 
 from srgd_tpu.diffusion import schedules
 from srgd_tpu.diffusion.base import (
-    GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, chunked_map,
+    GUIDANCE_CLASS, GUIDANCE_COND, chunked_map,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
     prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
     unnormalize_to_zero_to_one,
 )
 from srgd_tpu.tiling import (
-    TileGeometry, extract_tiles, make_geometry, reflect_pad, scatter_tiles,
-    zero_margin,
+    extract_tiles, make_geometry, reflect_pad, scatter_tiles,
 )
 
 

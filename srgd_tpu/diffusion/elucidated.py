@@ -18,7 +18,6 @@ p = 0.1 — a known defect (SURVEY.md section 2.13.4) in an unreleased code path
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -27,14 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from srgd_tpu.diffusion.base import (
-    GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, chunked_map,
+    GUIDANCE_COND, chunked_map,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
     prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
     unnormalize_to_zero_to_one,
 )
 from srgd_tpu.diffusion.schedules import EDMParams
 from srgd_tpu.tiling import (
-    extract_tiles, make_geometry, reflect_pad, scatter_tiles, zero_margin,
+    extract_tiles, make_geometry, reflect_pad, scatter_tiles,
 )
 
 

@@ -18,7 +18,7 @@ Math parity:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax
@@ -27,13 +27,13 @@ import numpy as np
 
 from srgd_tpu.diffusion import schedules
 from srgd_tpu.diffusion.base import (
-    GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, chunked_map,
+    GUIDANCE_COND, GUIDANCE_NONE, chunked_map,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
     prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
     unnormalize_to_zero_to_one,
 )
 from srgd_tpu.tiling import (
-    extract_tiles, make_geometry, reflect_pad, scatter_tiles, zero_margin,
+    extract_tiles, make_geometry, reflect_pad, scatter_tiles,
 )
 
 OBJECTIVES = ('pred_noise', 'pred_x0', 'pred_v')
@@ -151,7 +151,7 @@ class GaussianDiffusion:
     def p_sample_loop(self, params, rng, cond, class_label, *, cond_scale=1.0,
                       guidance_start_steps=0, class_cond_scale=1.0,
                       class_guidance_start_steps=0, generation_start_steps=0,
-                      capture_trajectory=False):
+                      capture_trajectory=False, capture_x0=False):
         mode = resolve_guidance_mode(cond_scale, class_cond_scale)
         T = self.timesteps
         rng, init_key = jax.random.split(rng)
@@ -171,13 +171,19 @@ class GaussianDiffusion:
             noise = jax.random.normal(key, img.shape, jnp.float32)
             img, x0 = self.p_sample_step(params, img, t, cond, class_label,
                                          noise, mode, scale)
-            return img, (img if capture_trajectory else None)
+            return img, (img if capture_trajectory else None,
+                         x0 if capture_x0 else None)
 
         idxs = jnp.arange(generation_start_steps, T)
-        img, traj = jax.lax.scan(step, img, idxs)
+        img, (traj, x0_traj) = jax.lax.scan(step, img, idxs)
         out = unnormalize_to_zero_to_one(img)  # parity: no final clamp in
         # the reference ancestral loop (model.py:1557-1563)
-        return (out, traj) if capture_trajectory else out
+        rets = (out,)
+        if capture_trajectory:
+            rets = rets + (traj,)
+        if capture_x0:
+            rets = rets + (x0_traj,)
+        return rets if len(rets) > 1 else out
 
     # ------------------------------------------------------------------
     # DDIM sampler. Parity: model.py:1565-1641 (eta = 0).
@@ -201,7 +207,8 @@ class GaussianDiffusion:
     def ddim_sample(self, params, rng, cond, class_label, *, cond_scale=1.0,
                     guidance_start_steps=0, class_cond_scale=1.0,
                     class_guidance_start_steps=0, generation_start_steps=0,
-                    sampling_timesteps=None, capture_trajectory=False):
+                    sampling_timesteps=None, capture_trajectory=False,
+                    capture_x0=False):
         mode = resolve_guidance_mode(cond_scale, class_cond_scale)
         n_steps = sampling_timesteps or self.sampling_timesteps
         pairs = jnp.asarray(ddim_time_pairs(self.timesteps, n_steps))
@@ -223,20 +230,27 @@ class GaussianDiffusion:
             noise = jax.random.normal(key, img.shape, jnp.float32)
             img, x0 = self.ddim_step(params, img, time, time_next, cond,
                                      class_label, noise, mode, scale)
-            return img, (img if capture_trajectory else None)
+            return img, (img if capture_trajectory else None,
+                         x0 if capture_x0 else None)
 
         idxs = jnp.arange(generation_start_steps, n_steps)
-        img, traj = jax.lax.scan(
+        img, (traj, x0_traj) = jax.lax.scan(
             step, img, (idxs, (pairs[generation_start_steps:, 0],
                                pairs[generation_start_steps:, 1])))
         out = unnormalize_to_zero_to_one(img)
-        return (out, traj) if capture_trajectory else out
+        rets = (out,)
+        if capture_trajectory:
+            rets = rets + (traj,)
+        if capture_x0:
+            rets = rets + (x0_traj,)
+        return rets if len(rets) > 1 else out
 
     # ------------------------------------------------------------------
     def sample(self, params, rng, condition_x, class_label=None, *,
                cond_scale=1.0, guidance_start_steps=0, class_cond_scale=1.0,
                class_guidance_start_steps=0, generation_start_steps=0,
-               num_sample_steps=None, capture_trajectory=False):
+               num_sample_steps=None, capture_trajectory=False,
+               capture_x0=False):
         """condition_x in [0,1]; dispatch ancestral vs DDIM like the reference
         (model.py:1644-1659)."""
         cond = normalize_to_neg_one_to_one(condition_x)
@@ -244,7 +258,7 @@ class GaussianDiffusion:
                   class_cond_scale=class_cond_scale,
                   class_guidance_start_steps=class_guidance_start_steps,
                   generation_start_steps=generation_start_steps,
-                  capture_trajectory=capture_trajectory)
+                  capture_trajectory=capture_trajectory, capture_x0=capture_x0)
         if self.is_ddim_sampling:
             return self.ddim_sample(params, rng, cond, class_label,
                                     sampling_timesteps=num_sample_steps, **kw)

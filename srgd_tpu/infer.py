@@ -23,7 +23,6 @@ import argparse
 import glob
 import logging
 import os
-import sys
 import time
 from functools import partial
 
@@ -64,6 +63,10 @@ def parse_args(argv=None):
                         'TPU deployments); scan: single jitted lax.scan program')
     p.add_argument('--use_pallas', action='store_true',
                    help='enable fused Pallas kernels (TPU only)')
+    p.add_argument('--mesh', type=str, default='',
+                   help="device mesh 'data,model' for multi-chip serving, "
+                        "e.g. '8,1': tiles data-parallel over ICI, weights "
+                        "replicated (SURVEY.md section 5.8)")
     return p.parse_args(argv)
 
 
@@ -87,12 +90,21 @@ def upscale_bicubic(image, scale: int = 4, interpolation: str = 'bicubic'):
 
 
 class SamplerCache:
-    """Jitted tiled samplers keyed by canvas shape (+ step count)."""
+    """Jitted tiled samplers keyed by canvas shape (+ step count).
 
-    def __init__(self, wrapper, params, opts):
+    With a mesh, the condition canvas is row-sharded over the data axis
+    (tile extraction reshapes keep the partition on the tile axis, so the
+    denoiser runs tile-data-parallel) and weights are replicated.
+    """
+
+    def __init__(self, wrapper, params, opts, mesh=None):
         import jax
         self.jax = jax
         self.wrapper = wrapper
+        self.mesh = mesh
+        if mesh is not None:
+            from srgd_tpu.parallel.mesh import replicated
+            params = jax.device_put(params, replicated(mesh))
         self.params = params
         self.opts = opts
         self._cache = {}
@@ -122,6 +134,13 @@ class SamplerCache:
             jitted = self._cache[key]
         rng = jax.random.PRNGKey(seed)  # re-seeded per image (inference.py:81)
         cond = jnp.asarray(cond_np)
+        if self.mesh is not None:
+            from srgd_tpu.parallel.mesh import canvas_sharding
+            cond = jax.device_put(cond, canvas_sharding(self.mesh))
+            with self.mesh:
+                out = jitted(self.params, rng, cond) if label is None else \
+                    jitted(self.params, rng, cond, jnp.asarray([label]))
+            return np.asarray(out)
         if label is None:
             out = jitted(self.params, rng, cond)
         else:
@@ -205,7 +224,11 @@ def main(argv=None):
                 class_guidance_start_steps=args.class_guidance_start_steps,
                 generation_start_steps=args.generation_start_steps,
                 num_sample_steps=args.num_sample_steps)
-    sampler = SamplerCache(wrapper, params, opts)
+    mesh = None
+    if args.mesh:
+        from srgd_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(tuple(int(x) for x in args.mesh.split(',')))
+    sampler = SamplerCache(wrapper, params, opts, mesh=mesh)
 
     print(args)
     batch_sr_target_images(args.input_dir, args.output_dir, sampler,

@@ -15,12 +15,10 @@ Falls back to the XLA path on non-TPU backends (interpret=True under tests).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):

@@ -18,8 +18,7 @@ All three are reproduced exactly below so converted conv kernels line up.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import io
 import os
 import queue
 import threading
-from typing import Iterator, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 
@@ -70,12 +70,21 @@ def _jpeg(img: np.ndarray, quality: int) -> np.ndarray:
 
 
 def _gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    from srgd_tpu.train import native
+    out = native.gaussian_blur(img, sigma)
+    if out is not None:
+        return out
     from PIL import Image, ImageFilter
     return np.asarray(Image.fromarray(img).filter(
         ImageFilter.GaussianBlur(radius=sigma)))
 
 
 def _resize(img: np.ndarray, size) -> np.ndarray:
+    # size is (W, H) PIL-style
+    from srgd_tpu.train import native
+    out = native.bicubic_resize(img, size[1], size[0])
+    if out is not None:
+        return out
     from PIL import Image
     return np.asarray(Image.fromarray(img).resize(size, Image.BICUBIC))
 
