@@ -1,0 +1,57 @@
+"""The shipped flagship YAML loads and builds the shipped model.
+
+Parity target: /root/reference/conf/conditional_continuous_linear_df8kost_dim128.yaml
+loaded through Config(**yaml) (/root/reference/config.py:191-194) and built by
+get_model (/root/reference/model.py:3500-3666)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from srgd_tpu.config import load_config
+from srgd_tpu.diffusion.continuous import ContinuousDiffusion
+from srgd_tpu.factory import build_wrapper
+from srgd_tpu.nn.unet import build_unet_from_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FLAGSHIP_YAML = os.path.join(
+    REPO, 'conf', 'conditional_continuous_linear_df8kost_dim128.yaml')
+
+
+def test_flagship_yaml_loads():
+    conf = load_config(FLAGSHIP_YAML)
+    # the values that select the shipped model (reference yaml:15-17, 44-49)
+    assert conf.model == 'conditional_continuous'
+    assert conf.noise_schedule == 'linear'
+    assert conf.num_sample_steps == 250
+    assert conf.unet_dim == 128
+    assert conf.ddpm_unet_dim_mults == '1,2,4,8'
+    assert conf.learned_sinusoidal_cond is True
+    assert conf.learned_sinusoidal_dim == 32
+    assert conf.image_size == 256 and conf.lr_image_size == 64  # 4x
+    assert conf.num_classes == 3  # default, not overridden (config.py:20)
+    assert conf.ema_decay == 0.9999
+    assert conf.class_cond_drop_prob == 0.1
+
+
+def test_flagship_yaml_builds_shipped_wrapper():
+    conf = load_config(FLAGSHIP_YAML)
+    net = build_unet_from_config(conf)
+    wrapper = build_wrapper(conf, net)
+    assert isinstance(wrapper, ContinuousDiffusion)
+    assert wrapper.num_sample_steps == 250
+    assert wrapper.noise_schedule == 'linear'
+    # factory forces the dpmpp flag off for continuous (model.py:3636)
+    assert conf.use_dpmpp_solver is False
+
+    # parameter count matches the released checkpoint: 550,400,570-byte fp32
+    # EMA state dict ~= 137M params (BASELINE.md). eval_shape only — no FLOPs.
+    shapes = jax.eval_shape(
+        lambda k: net.init(k, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,)),
+                           cond=jnp.zeros((1, 256, 256, 3)),
+                           class_label=jnp.zeros((1,), jnp.int32)),
+        jax.random.PRNGKey(0))
+    n_params = sum(int(jnp.prod(jnp.array(a.shape)))
+                   for a in jax.tree.leaves(shapes))
+    assert 130e6 < n_params < 145e6, n_params
