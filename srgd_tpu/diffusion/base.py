@@ -130,7 +130,7 @@ def prepare_tile_context(cond_padded, geom, batch: int, batch_size: int,
 
 def run_tiled_host_loop(jit_cache: dict, cache_key, step_builders: dict,
                         select, params, img, cond_tiles, label_tiles, rng,
-                        indices, capture_trajectory: bool):
+                        indices, capture_trajectory: bool, extra_args=()):
     """Execute a tiled sampler as a host-side Python loop over per-step jitted
     functions (one compile per (parity, variant)), instead of one lax.scan.
 
@@ -140,18 +140,29 @@ def run_tiled_host_loop(jit_cache: dict, cache_key, step_builders: dict,
     cost against ~100ms+ step compute.
 
     step_builders: {tag: fn_builder} where fn_builder() returns
-      f(params, img, cond_tiles_p, label_tiles_p, rng, i) -> img.
+      f(params, img, cond_tiles_p, label_tiles_p, rng, i, *extra_args) -> img.
     select(i) -> (tag, parity). Jitted fns are cached in jit_cache[cache_key].
+    extra_args: traced arrays every step needs (e.g. a params-derived schedule
+    table) — passed as arguments so the cached jitted fns never close over
+    params-dependent values (a stale-closure hazard).
+
+    Unless a trajectory is captured (the captured frames must outlive the next
+    step), the canvas argument is donated: each step's output reuses the
+    previous canvas allocation, saving an alloc+copy of the largest array in
+    the loop.
     """
-    fns = jit_cache.get(cache_key)
+    fns_key = (cache_key, capture_trajectory)
+    fns = jit_cache.get(fns_key)
     if fns is None:
-        fns = {tag: jax.jit(builder()) for tag, builder in step_builders.items()}
-        jit_cache[cache_key] = fns
+        donate = () if capture_trajectory else (1,)
+        fns = {tag: jax.jit(builder(), donate_argnums=donate)
+               for tag, builder in step_builders.items()}
+        jit_cache[fns_key] = fns
     traj = []
     for i in indices:
         tag, parity = select(int(i))
         img = fns[tag](params, img, cond_tiles[parity], label_tiles[parity],
-                       rng, jnp.asarray(i, jnp.int32))
+                       rng, jnp.asarray(i, jnp.int32), *extra_args)
         if capture_trajectory:
             traj.append(img)
     if capture_trajectory:

@@ -258,9 +258,11 @@ class ContinuousDiffusion:
 
         def make_parity_step(parity: int):
             """One full step on one grid parity, as an explicit-args function
-            (jittable standalone for host-loop mode)."""
+            (jittable standalone for host-loop mode). ``table`` is an argument,
+            not a closure, so the cached host-loop jits never capture
+            params-derived values (learned schedule) in a stale closure."""
 
-            def pstep(params, img, ctiles, ltiles, rng, i):
+            def pstep(params, img, ctiles, ltiles, rng, i, table):
                 key = jax.random.fold_in(rng, i)
                 key_t, key_m = jax.random.split(key)
                 scale = self._step_scale(
@@ -306,14 +308,12 @@ class ContinuousDiffusion:
                          class_cond_scale, guidance_start_steps,
                          class_guidance_start_steps, chunk, tuple(n_chunks),
                          class_label is None, b, self.noise_schedule,
-                         self.clip_sample_denoised,
-                         # learned schedule: table is baked into the closure
-                         id(params) if self.noise_schedule == 'learned' else None)
+                         self.clip_sample_denoised)
             img, traj = run_tiled_host_loop(
                 self._jit_cache, cache_key,
                 {0: lambda: make_parity_step(0), 1: lambda: make_parity_step(1)},
                 lambda i: (i % 2, i % 2), params, img, cond_tiles, label_tiles,
-                rng, indices, capture_trajectory)
+                rng, indices, capture_trajectory, extra_args=(table,))
         else:
             even_step, odd_step = make_parity_step(0), make_parity_step(1)
 
@@ -321,9 +321,9 @@ class ContinuousDiffusion:
                 img = jax.lax.cond(
                     i % 2 == 0,
                     lambda im: even_step(params, im, cond_tiles[0],
-                                         label_tiles[0], rng, i),
+                                         label_tiles[0], rng, i, table),
                     lambda im: odd_step(params, im, cond_tiles[1],
-                                        label_tiles[1], rng, i),
+                                        label_tiles[1], rng, i, table),
                     img)
                 return img, (img if capture_trajectory else None)
 

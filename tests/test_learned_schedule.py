@@ -100,6 +100,28 @@ def test_sampler_with_learned_schedule():
     assert np.isfinite(gn) and gn > 0
 
 
+def test_host_loop_no_stale_schedule_closure():
+    """Regression: the host-loop jit cache used to key on id(params) and bake
+    the learned log-SNR table into the closure — a recycled id() could serve a
+    stale table. The table is now a traced argument; two different schedule
+    params through the SAME wrapper/cache must give different outputs."""
+    from tests.test_continuous import FakeNet
+
+    d = ContinuousDiffusion(net=FakeNet(), image_size=16,
+                            noise_schedule='learned', num_sample_steps=4)
+    cond = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3))
+
+    def run(seed):
+        params = {'params': {}, 'log_snr': init_learned_log_snr(
+            jax.random.PRNGKey(seed), hidden_dim=16)}
+        return d.tiled_sample(params, jax.random.PRNGKey(5), cond,
+                              tile_size=16, batch_size=4, host_loop=True)
+
+    out_a, out_b, out_a2 = run(0), run(9), run(0)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_a2), atol=0)
+
+
 def test_factory_learned_schedule():
     from srgd_tpu.config import Config
     from srgd_tpu.factory import get_model
