@@ -129,8 +129,8 @@ def prepare_tile_context(cond_padded, geom, batch: int, batch_size: int,
 
 
 def run_tiled_host_loop(jit_cache: dict, cache_key, step_builders: dict,
-                        select, params, img, cond_tiles, label_tiles, rng,
-                        indices, capture_trajectory: bool, extra_args=()):
+                        select, params, state, cond_tiles, label_tiles, rng,
+                        indices, capture: bool, extra_args=()):
     """Execute a tiled sampler as a host-side Python loop over per-step jitted
     functions (one compile per (parity, variant)), instead of one lax.scan.
 
@@ -140,34 +140,48 @@ def run_tiled_host_loop(jit_cache: dict, cache_key, step_builders: dict,
     cost against ~100ms+ step compute.
 
     step_builders: {tag: fn_builder} where fn_builder() returns
-      f(params, img, cond_tiles_p, label_tiles_p, rng, i, *extra_args) -> img.
+      f(params, state, cond_tiles_p, label_tiles_p, rng, i, *extra_args)
+      -> state. ``state`` is any pytree of canvases (e.g. the image, or
+      (image, x0) when the x0 trajectory is captured).
     select(i) -> (tag, parity). Jitted fns are cached in jit_cache[cache_key].
     extra_args: traced arrays every step needs (e.g. a params-derived schedule
     table) — passed as arguments so the cached jitted fns never close over
     params-dependent values (a stale-closure hazard).
 
-    Unless a trajectory is captured (the captured frames must outlive the next
-    step), the canvas argument is donated: each step's output reuses the
-    previous canvas allocation, saving an alloc+copy of the largest array in
-    the loop.
+    Unless ``capture`` is set (captured frames must outlive the next step),
+    the state argument is donated: each step's output reuses the previous
+    canvas allocation, saving an alloc+copy of the largest arrays in the loop.
+    Returns (state, frames) where frames is the per-step stack of state
+    (per-leaf, leading time axis) or None.
     """
-    fns_key = (cache_key, capture_trajectory)
+    fns_key = (cache_key, capture)
     fns = jit_cache.get(fns_key)
     if fns is None:
-        donate = () if capture_trajectory else (1,)
+        donate = () if capture else (1,)
         fns = {tag: jax.jit(builder(), donate_argnums=donate)
                for tag, builder in step_builders.items()}
         jit_cache[fns_key] = fns
     traj = []
     for i in indices:
         tag, parity = select(int(i))
-        img = fns[tag](params, img, cond_tiles[parity], label_tiles[parity],
-                       rng, jnp.asarray(i, jnp.int32), *extra_args)
-        if capture_trajectory:
-            traj.append(img)
-    if capture_trajectory:
-        return img, jnp.stack(traj, axis=0)
-    return img, None
+        state = fns[tag](params, state, cond_tiles[parity], label_tiles[parity],
+                         rng, jnp.asarray(i, jnp.int32), *extra_args)
+        if capture:
+            traj.append(state)
+    if capture:
+        return state, jax.tree.map(lambda *xs: jnp.stack(xs), *traj)
+    return state, None
+
+
+def crop_frames(frames, crop):
+    """Crop a (T, B, H, W, C) frame stack to the output region.
+
+    The reference's tiled debug captures keep the full padded canvas per step
+    but crop the initial frame (/root/reference/model.py:3320-3325, 3398-3401);
+    here every frame is cropped so the stack has one uniform, stackable shape
+    (the padding margin is re-noise bookkeeping, not image content)."""
+    left, top, right, bottom = crop
+    return frames[:, :, top:bottom, left:right, :]
 
 
 def pad_tiles_to_multiple(tiles: jnp.ndarray, chunk: int):

@@ -31,7 +31,7 @@ import numpy as np
 
 from srgd_tpu.diffusion import schedules
 from srgd_tpu.diffusion.base import (
-    GUIDANCE_CLASS, GUIDANCE_COND, chunked_map,
+    GUIDANCE_CLASS, GUIDANCE_COND, chunked_map, crop_frames,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
     prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
     unnormalize_to_zero_to_one,
@@ -223,9 +223,17 @@ class ContinuousDiffusion:
                      num_sample_steps: Optional[int] = None,
                      start_white_noise: bool = True,
                      capture_trajectory: bool = False,
+                     capture_x0: bool = False,
                      host_loop: bool = False):
         """condition_x: (B,H,W,C) in [0,1] at TARGET resolution (pre-upscaled
         LR). Returns (B, H, W, C) in [0,1].
+
+        capture_trajectory / capture_x0 mirror the reference's with_images /
+        with_x0_images tiled debug captures (model.py:3320-3325, 3398-3401):
+        frame stacks in [-1,1] whose frame 0 is the cropped init canvas,
+        followed by one frame per executed step. Divergence (documented): the
+        reference keeps full-canvas per-step frames; here every frame is
+        cropped to the output region so the stack has a uniform shape.
 
         host_loop=True runs the step loop on the host with per-parity jitted
         step functions (cached on the wrapper) instead of one lax.scan —
@@ -260,9 +268,13 @@ class ContinuousDiffusion:
             """One full step on one grid parity, as an explicit-args function
             (jittable standalone for host-loop mode). ``table`` is an argument,
             not a closure, so the cached host-loop jits never capture
-            params-derived values (learned schedule) in a stale closure."""
+            params-derived values (learned schedule) in a stale closure.
 
-            def pstep(params, img, ctiles, ltiles, rng, i, table):
+            State is the canvas, or (canvas, x0_canvas) when capturing x0
+            (the reference threads an x_start canvas, model.py:3331, 3377-3390)."""
+
+            def pstep(params, state, ctiles, ltiles, rng, i, table):
+                img, x0c = state if capture_x0 else (state, None)
                 key = jax.random.fold_in(rng, i)
                 key_t, key_m = jax.random.split(key)
                 scale = self._step_scale(
@@ -279,16 +291,20 @@ class ContinuousDiffusion:
 
                 def chunk_fn(xs, cs, ns, *maybe_label):
                     lb = maybe_label[0] if maybe_label else None
-                    nx, _ = self.p_sample_tiles(
+                    nx, xs0 = self.p_sample_tiles(
                         params, xs, cs, lb, ns, table[i], table[i + 1],
                         mode, scale, is_last)
-                    return nx
+                    return (nx, xs0) if capture_x0 else nx
 
                 args = (tiles, ctiles, noise)
                 if ltiles is not None:
                     args = args + (ltiles,)
                 out = chunked_map(chunk_fn, n_chunks[parity], *args)
-                img = scatter_tiles(img, out[:n_orig], geom, parity)
+                if capture_x0:
+                    img = scatter_tiles(img, out[0][:n_orig], geom, parity)
+                    x0c = scatter_tiles(x0c, out[1][:n_orig], geom, parity)
+                else:
+                    img = scatter_tiles(img, out[:n_orig], geom, parity)
 
                 if parity == 1 and interior_mask is not None:
                     # margin := q_sample(zeros, t_next) = sigma_next * noise
@@ -298,9 +314,13 @@ class ContinuousDiffusion:
                     fresh = jax.random.normal(
                         key_m, img.shape, jnp.float32) * sigma_next
                     img = img * interior_mask + fresh * (1.0 - interior_mask)
-                return img
+                return (img, x0c) if capture_x0 else img
 
             return pstep
+
+        capture = capture_trajectory or capture_x0
+        init_img = img
+        state = (img, img) if capture_x0 else img
 
         indices = range(generation_start_steps, n_steps)
         if host_loop:
@@ -308,34 +328,44 @@ class ContinuousDiffusion:
                          class_cond_scale, guidance_start_steps,
                          class_guidance_start_steps, chunk, tuple(n_chunks),
                          class_label is None, b, self.noise_schedule,
-                         self.clip_sample_denoised)
-            img, traj = run_tiled_host_loop(
+                         self.clip_sample_denoised, capture_x0)
+            state, frames = run_tiled_host_loop(
                 self._jit_cache, cache_key,
                 {0: lambda: make_parity_step(0), 1: lambda: make_parity_step(1)},
-                lambda i: (i % 2, i % 2), params, img, cond_tiles, label_tiles,
-                rng, indices, capture_trajectory, extra_args=(table,))
+                lambda i: (i % 2, i % 2), params, state, cond_tiles, label_tiles,
+                rng, indices, capture, extra_args=(table,))
         else:
             even_step, odd_step = make_parity_step(0), make_parity_step(1)
 
-            def step(img, i):
-                img = jax.lax.cond(
+            def step(state, i):
+                state = jax.lax.cond(
                     i % 2 == 0,
-                    lambda im: even_step(params, im, cond_tiles[0],
-                                         label_tiles[0], rng, i, table),
-                    lambda im: odd_step(params, im, cond_tiles[1],
-                                        label_tiles[1], rng, i, table),
-                    img)
-                return img, (img if capture_trajectory else None)
+                    lambda s: even_step(params, s, cond_tiles[0],
+                                        label_tiles[0], rng, i, table),
+                    lambda s: odd_step(params, s, cond_tiles[1],
+                                       label_tiles[1], rng, i, table),
+                    state)
+                return state, (state if capture else None)
 
-            img, traj = jax.lax.scan(step, img, jnp.arange(
+            state, frames = jax.lax.scan(step, state, jnp.arange(
                 generation_start_steps, n_steps))
 
+        img = state[0] if capture_x0 else state
         left, top, right, bottom = geom.crop
         out = img[:, top:bottom, left:right, :]
         out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))
+        if not capture:
+            return out
+        init_frame = init_img[None, :, top:bottom, left:right, :]
+        rets = (out,)
         if capture_trajectory:
-            return out, traj
-        return out
+            img_frames = frames[0] if capture_x0 else frames
+            rets += (jnp.concatenate([init_frame,
+                                      crop_frames(img_frames, geom.crop)]),)
+        if capture_x0:
+            rets += (jnp.concatenate([init_frame,
+                                      crop_frames(frames[1], geom.crop)]),)
+        return rets
 
     # ------------------------------------------------------------------
     # Training loss. Parity: model.py:3449-3495 (+2992-3051 unconditional).

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from srgd_tpu.diffusion.base import (
-    GUIDANCE_COND, chunked_map,
+    GUIDANCE_COND, chunked_map, crop_frames,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
     prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
     unnormalize_to_zero_to_one,
@@ -231,7 +231,13 @@ class ElucidatedDiffusion:
                      class_cond_scale=1.0, class_guidance_start_steps=0,
                      generation_start_steps=0, num_sample_steps=None,
                      clamp=True, zero_init=False, start_white_noise=True,
-                     capture_trajectory=False, host_loop=False):
+                     capture_trajectory=False, capture_x0=False,
+                     host_loop=False):
+        """capture_trajectory / capture_x0: per-step frame stacks in [-1,1],
+        cropped to the output region, frame 0 = cropped init canvas. Quirk
+        reproduced from the reference (model.py:2428-2433, 2464-2465): the
+        "x0" frames of this family actually hold denoised_over_sigma — the
+        ODE derivative d (d' on Heun steps) — not the denoised image."""
         n = num_sample_steps or self.num_sample_steps
         b, h, w, ch = condition_x.shape
         geom = make_geometry(h, w, tile_size, tile_stride)
@@ -263,7 +269,8 @@ class ElucidatedDiffusion:
             before tiling (model.py:2392-2395); identical here.
             """
 
-            def pstep(params, img, ctiles, ltiles, rng, i):
+            def pstep(params, state, ctiles, ltiles, rng, i):
+                img, x0c = state if capture_x0 else (state, None)
                 e = self.edm
                 key = jax.random.fold_in(rng, i)
                 key_t, key_m = jax.random.split(key)
@@ -293,13 +300,18 @@ class ElucidatedDiffusion:
                                                     cs_, lb, mode, scale, clamp)
                         d2 = (x_next - den2) / sigma_next
                         x_next = xs + 0.5 * (sigma_next - sigma_hat) * (d + d2)
-                    return x_next
+                        d = d2  # reference stores d' on Heun steps (model.py:2431)
+                    return (x_next, d) if capture_x0 else x_next
 
                 args = (tiles, ctiles)
                 if ltiles is not None:
                     args = args + (ltiles,)
                 out = chunked_map(chunk_fn, n_chunks[parity], *args)
-                img = scatter_tiles(img, out[:n_orig], geom, parity)
+                if capture_x0:
+                    img = scatter_tiles(img, out[0][:n_orig], geom, parity)
+                    x0c = scatter_tiles(x0c, out[1][:n_orig], geom, parity)
+                else:
+                    img = scatter_tiles(img, out[:n_orig], geom, parity)
 
                 if parity == 1 and interior_mask is not None:
                     # margin := zeros + sigmas[i]*noise (model.py:2454-2458
@@ -307,61 +319,71 @@ class ElucidatedDiffusion:
                     fresh = sig[i] * jax.random.normal(key_m, img.shape,
                                                        jnp.float32)
                     img = img * interior_mask + fresh * (1.0 - interior_mask)
-                return img
+                return (img, x0c) if capture_x0 else img
 
             return pstep
+
+        capture = capture_trajectory or capture_x0
+        init_img = img
+        state = (img, img) if capture_x0 else img
 
         start = generation_start_steps
         if host_loop:
             cache_key = ('edm', geom, n, mode, cond_scale, class_cond_scale,
                          guidance_start_steps, class_guidance_start_steps,
                          chunk, tuple(n_chunks), class_label is None, b,
-                         clamp, self.edm)
+                         clamp, self.edm, capture_x0)
             builders = {('heun', 0): lambda: make_parity_step(0, True),
                         ('heun', 1): lambda: make_parity_step(1, True),
                         ('final', 0): lambda: make_parity_step(0, False),
                         ('final', 1): lambda: make_parity_step(1, False)}
             select = lambda i: (('heun' if i < n - 1 else 'final', i % 2), i % 2)
-            img, traj = run_tiled_host_loop(
-                self._jit_cache, cache_key, builders, select, params, img,
-                cond_tiles, label_tiles, rng, range(start, n),
-                capture_trajectory)
-            if capture_trajectory:
-                left, top, right, bottom = geom.crop
-                out = img[:, top:bottom, left:right, :]
-                out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))
-                return out, traj
+            state, frames = run_tiled_host_loop(
+                self._jit_cache, cache_key, builders, select, params, state,
+                cond_tiles, label_tiles, rng, range(start, n), capture)
         else:
             heun = (make_parity_step(0, True), make_parity_step(1, True))
             final = (make_parity_step(0, False), make_parity_step(1, False))
 
-            def step(img, i):
-                img = jax.lax.cond(
+            def step(state, i):
+                state = jax.lax.cond(
                     i % 2 == 0,
-                    lambda im: heun[0](params, im, cond_tiles[0],
-                                       label_tiles[0], rng, i),
-                    lambda im: heun[1](params, im, cond_tiles[1],
-                                       label_tiles[1], rng, i),
-                    img)
-                return img, (img if capture_trajectory else None)
+                    lambda s: heun[0](params, s, cond_tiles[0],
+                                      label_tiles[0], rng, i),
+                    lambda s: heun[1](params, s, cond_tiles[1],
+                                      label_tiles[1], rng, i),
+                    state)
+                return state, (state if capture else None)
 
-            traj = None
+            frames = None
             if start < n - 1:
-                img, traj = jax.lax.scan(step, img, jnp.arange(start, n - 1))
+                state, frames = jax.lax.scan(step, state, jnp.arange(start, n - 1))
             i_last = n - 1
             p_last = i_last % 2
-            img = final[p_last](params, img, cond_tiles[p_last],
-                                label_tiles[p_last], rng,
-                                jnp.asarray(i_last, jnp.int32))
+            state = final[p_last](params, state, cond_tiles[p_last],
+                                  label_tiles[p_last], rng,
+                                  jnp.asarray(i_last, jnp.int32))
+            if capture:
+                last = jax.tree.map(lambda a: a[None], state)
+                frames = last if frames is None else jax.tree.map(
+                    lambda a, z: jnp.concatenate([a, z]), frames, last)
 
+        img = state[0] if capture_x0 else state
         left, top, right, bottom = geom.crop
         out = img[:, top:bottom, left:right, :]
         out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))
+        if not capture:
+            return out
+        init_frame = init_img[None, :, top:bottom, left:right, :]
+        rets = (out,)
         if capture_trajectory:
-            tail = out[None] if traj is None else jnp.concatenate(
-                [traj, img[None]], axis=0)
-            return out, tail
-        return out
+            img_frames = frames[0] if capture_x0 else frames
+            rets += (jnp.concatenate([init_frame,
+                                      crop_frames(img_frames, geom.crop)]),)
+        if capture_x0:
+            rets += (jnp.concatenate([init_frame,
+                                      crop_frames(frames[1], geom.crop)]),)
+        return rets
 
     # ------------------------------------------------------------------
     # Training loss. Parity: model.py:2030-2056, 2570-2600 (cond-drop

@@ -27,7 +27,7 @@ import numpy as np
 
 from srgd_tpu.diffusion import schedules
 from srgd_tpu.diffusion.base import (
-    GUIDANCE_COND, GUIDANCE_NONE, chunked_map,
+    GUIDANCE_COND, GUIDANCE_NONE, chunked_map, crop_frames,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
     prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
     unnormalize_to_zero_to_one,
@@ -274,7 +274,11 @@ class GaussianDiffusion:
                      class_cond_scale=1.0, class_guidance_start_steps=0,
                      generation_start_steps=0, num_sample_steps=None,
                      start_white_noise=True, capture_trajectory=False,
-                     host_loop=False):
+                     capture_x0=False, host_loop=False):
+        """capture_trajectory / capture_x0: per-step frame stacks in [-1,1],
+        cropped to the output region, frame 0 = cropped init canvas (reference
+        with_images/with_x0_images semantics, model.py:1096-1101, 1212-1215 —
+        full-canvas per-step frames there; uniformly cropped here)."""
         n_steps = num_sample_steps or self.sampling_timesteps
         b, h, w, ch = condition_x.shape
         geom = make_geometry(h, w, tile_size, tile_stride)
@@ -298,7 +302,8 @@ class GaussianDiffusion:
             prepare_tile_context(cond_padded, geom, b, batch_size, class_label)
 
         def make_parity_step(parity: int):
-            def pstep(params, img, ctiles, ltiles, rng, i):
+            def pstep(params, state, ctiles, ltiles, rng, i):
+                img, x0c = state if capture_x0 else (state, None)
                 time, time_next = pairs[i, 0], pairs[i, 1]
                 key = jax.random.fold_in(rng, i)
                 key_t, key_m = jax.random.split(key)
@@ -315,15 +320,19 @@ class GaussianDiffusion:
 
                 def chunk_fn(xs, cs_, ns, *maybe_label):
                     lb = maybe_label[0] if maybe_label else None
-                    nx, _ = self.ddim_step(params, xs, time, time_next, cs_,
-                                           lb, ns, mode, scale)
-                    return nx
+                    nx, xs0 = self.ddim_step(params, xs, time, time_next, cs_,
+                                             lb, ns, mode, scale)
+                    return (nx, xs0) if capture_x0 else nx
 
                 args = (tiles, ctiles, noise)
                 if ltiles is not None:
                     args = args + (ltiles,)
                 out = chunked_map(chunk_fn, n_chunks[parity], *args)
-                img = scatter_tiles(img, out[:n_orig], geom, parity)
+                if capture_x0:
+                    img = scatter_tiles(img, out[0][:n_orig], geom, parity)
+                    x0c = scatter_tiles(x0c, out[1][:n_orig], geom, parity)
+                else:
+                    img = scatter_tiles(img, out[:n_orig], geom, parity)
 
                 if parity == 1 and interior_mask is not None:
                     # margin := q_sample(zeros, t_next) = sqrt(1-ac[t_next]) *
@@ -338,9 +347,13 @@ class GaussianDiffusion:
                     renoised = jnp.where(time_next < 0, stale,
                                          fresh * (1.0 - interior_mask))
                     img = img * interior_mask + renoised
-                return img
+                return (img, x0c) if capture_x0 else img
 
             return pstep
+
+        capture = capture_trajectory or capture_x0
+        init_img = img
+        state = (img, img) if capture_x0 else img
 
         indices = range(generation_start_steps, n_steps)
         if host_loop:
@@ -348,32 +361,44 @@ class GaussianDiffusion:
                          cond_scale, class_cond_scale, guidance_start_steps,
                          class_guidance_start_steps, chunk, tuple(n_chunks),
                          class_label is None, b, self.beta_schedule,
-                         self.objective)
-            img, traj = run_tiled_host_loop(
+                         self.objective, capture_x0)
+            state, frames = run_tiled_host_loop(
                 self._jit_cache, cache_key,
                 {0: lambda: make_parity_step(0), 1: lambda: make_parity_step(1)},
-                lambda i: (i % 2, i % 2), params, img, cond_tiles, label_tiles,
-                rng, indices, capture_trajectory)
+                lambda i: (i % 2, i % 2), params, state, cond_tiles, label_tiles,
+                rng, indices, capture)
         else:
             even_step, odd_step = make_parity_step(0), make_parity_step(1)
 
-            def step(img, i):
-                img = jax.lax.cond(
+            def step(state, i):
+                state = jax.lax.cond(
                     i % 2 == 0,
-                    lambda im: even_step(params, im, cond_tiles[0],
-                                         label_tiles[0], rng, i),
-                    lambda im: odd_step(params, im, cond_tiles[1],
-                                        label_tiles[1], rng, i),
-                    img)
-                return img, (img if capture_trajectory else None)
+                    lambda s: even_step(params, s, cond_tiles[0],
+                                        label_tiles[0], rng, i),
+                    lambda s: odd_step(params, s, cond_tiles[1],
+                                       label_tiles[1], rng, i),
+                    state)
+                return state, (state if capture else None)
 
-            img, traj = jax.lax.scan(
-                step, img, jnp.arange(generation_start_steps, n_steps))
+            state, frames = jax.lax.scan(
+                step, state, jnp.arange(generation_start_steps, n_steps))
 
+        img = state[0] if capture_x0 else state
         left, top, right, bottom = geom.crop
         out = img[:, top:bottom, left:right, :]
         out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))
-        return (out, traj) if capture_trajectory else out
+        if not capture:
+            return out
+        init_frame = init_img[None, :, top:bottom, left:right, :]
+        rets = (out,)
+        if capture_trajectory:
+            img_frames = frames[0] if capture_x0 else frames
+            rets += (jnp.concatenate([init_frame,
+                                      crop_frames(img_frames, geom.crop)]),)
+        if capture_x0:
+            rets += (jnp.concatenate([init_frame,
+                                      crop_frames(frames[1], geom.crop)]),)
+        return rets
 
     # ------------------------------------------------------------------
     # Training. Parity: model.py:1661-1728.
