@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+from srgd_tpu.utils.profiling import PhaseTimer
+
 logger = logging.getLogger('srgd_tpu.train')
 
 
@@ -89,10 +91,23 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
     state = create_train_state(params, optimizer)
 
     ckpt_dir = os.path.join(out_dir, 'ckpt')
+    best_psnr = -1.0
     if resume and os.path.isdir(ckpt_dir):
-        restored = restore_params(ckpt_dir)
+        raw = restore_params(ckpt_dir)
+        if 'opt_state' in raw:
+            # re-restore against a template so optax state (namedtuples,
+            # EmptyState, ...) comes back with its real structure, not dicts
+            restored = restore_params(ckpt_dir, template={
+                'params': state.params, 'ema_params': state.ema_params,
+                'opt_state': state.opt_state, 'step': 0,
+                'best_psnr': 0.0})
+            opt_state = restored['opt_state']
+            best_psnr = float(restored.get('best_psnr', -1.0))
+        else:  # legacy checkpoint without optimizer state
+            logger.warning('checkpoint has no opt_state; Adam moments reset')
+            restored, opt_state = raw, state.opt_state
         state = TrainState(params=restored['params'],
-                           opt_state=state.opt_state,  # opt state not resumed across versions
+                           opt_state=opt_state,
                            ema_params=restored['ema_params'],
                            step=jnp.asarray(restored['step'], jnp.int32))
         logger.info('resumed from %s at step %d', ckpt_dir, int(state.step))
@@ -101,20 +116,29 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
                                       conditional))
     bs = batch_sharding(mesh)
 
+    def save_state(path, step):
+        save_params(path, {
+            'params': jax.device_get(state.params),
+            'ema_params': jax.device_get(state.ema_params),
+            'opt_state': jax.device_get(state.opt_state),
+            'step': step, 'best_psnr': best_psnr})
+
     os.makedirs(out_dir, exist_ok=True)
     losses = []
-    best_psnr = -1.0
+    timer = PhaseTimer()
     t0 = time.time()
     it = iter(ds)
     with mesh:
         while int(state.step) < total_steps:
-            hr, cond, label = next(it)
-            hr = jax.device_put(jnp.asarray(hr), bs)
-            cond = jax.device_put(jnp.asarray(cond), bs)
-            label = jax.device_put(jnp.asarray(label), bs)
-            state, loss = step_fn(state, rng, hr, cond,
-                                  label if conditional else None)
-            losses.append(float(loss))
+            with timer.phase('data'):
+                hr, cond, label = next(it)
+                hr = jax.device_put(jnp.asarray(hr), bs)
+                cond = jax.device_put(jnp.asarray(cond), bs)
+                label = jax.device_put(jnp.asarray(label), bs)
+            with timer.phase('step'):
+                state, loss = step_fn(state, rng, hr, cond,
+                                      label if conditional else None)
+                losses.append(float(loss))  # syncs the step
             step = int(state.step)
             if step % log_every == 0:
                 dt = time.time() - t0
@@ -123,21 +147,18 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
                             log_every / max(dt, 1e-9))
                 t0 = time.time()
             if step % save_every == 0 or step >= total_steps:
-                save_params(ckpt_dir, {
-                    'params': jax.device_get(state.params),
-                    'ema_params': jax.device_get(state.ema_params),
-                    'step': step})
+                with timer.phase('save'):
+                    save_state(ckpt_dir, step)
                 logger.info('saved checkpoint at step %d -> %s', step, ckpt_dir)
                 if val_dir and not conf.skip_val:
-                    p, s_ = validate(conf, wrapper, state.ema_params, val_dir,
-                                     jax.random.fold_in(rng, step))
+                    with timer.phase('val'):
+                        p, s_ = validate(conf, wrapper, state.ema_params,
+                                         val_dir, jax.random.fold_in(rng, step))
                     logger.info('val @%d: PSNR %.2f dB  SSIM %.4f', step, p, s_)
                     if p > best_psnr:
                         best_psnr = p
-                        save_params(os.path.join(out_dir, 'ckpt_best_psnr'), {
-                            'params': jax.device_get(state.params),
-                            'ema_params': jax.device_get(state.ema_params),
-                            'step': step})
+                        save_state(os.path.join(out_dir, 'ckpt_best_psnr'), step)
+    logger.info('phase breakdown:\n%s', timer.report())
     return state
 
 

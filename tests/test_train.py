@@ -93,6 +93,54 @@ def test_train_loop_end_to_end(image_dir, tmp_path):
     assert int(state2.step) == 4
 
 
+def test_resume_matches_uninterrupted(tmp_path, monkeypatch):
+    """A stop-at-step-2 / resume-to-4 run must reproduce the uninterrupted
+    4-step run exactly — i.e. Adam moments and schedule position survive the
+    checkpoint (regression for the old resume dropping opt_state)."""
+    import srgd_tpu.train.data as data_mod
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.loop import train
+
+    rng = np.random.default_rng(0)
+    hr = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    cond = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    label = np.zeros((2,), np.int64)
+
+    class ConstData:
+        def __init__(self, *a, **kw):
+            pass
+
+        def __iter__(self):
+            while True:
+                yield hr, cond, label
+
+    monkeypatch.setattr(data_mod, 'DegradationDataset', ConstData)
+
+    conf = Config(model='conditional_continuous', unet_dim=8,
+                  ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                  hr_image_size=16, batch_size=2, num_workers=1,
+                  epochs=1, warmup_epochs=0, ema_decay=0.9, seed=0,
+                  scheduler='constant')  # schedule independent of total_steps
+
+    sA = train(conf, 'unused', str(tmp_path / 'A'), total_steps=4,
+               log_every=10, save_every=100)
+    train(conf, 'unused', str(tmp_path / 'B'), total_steps=2,
+          log_every=10, save_every=2)
+    sB = train(conf, 'unused', str(tmp_path / 'B'), total_steps=4,
+               log_every=10, save_every=100)
+
+    assert int(sA.step) == int(sB.step) == 4
+    for name, a, b in [('params', sA.params, sB.params),
+                       ('ema', sA.ema_params, sB.ema_params),
+                       ('opt', sA.opt_state, sB.opt_state)]:
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(la) == len(lb), name
+        for x, y in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=0, err_msg=name)
+
+
 def test_metrics():
     from srgd_tpu.utils.metrics import psnr, ssim
     rng = np.random.default_rng(0)
