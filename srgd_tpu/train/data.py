@@ -6,13 +6,20 @@ config.py:149-150) over HR crops with hflip/90-degree-rotation augmentation
 (config.py:94-95) and a 3-class degradation-conditioning task
 'realsr_denoise_sr' (config.py:20-21). This module re-creates that surface:
 
-  class 0 'realsr':  blur -> x4 downscale -> noise -> jpeg -> bicubic up
+  class 0 'realsr':  degradation chain selected by train_trans_mode
   class 1 'denoise': additive noise at HR resolution
   class 2 'sr':      clean x4 bicubic down -> bicubic up
 
-The exact recipe was never shipped, so this is a documented re-creation, not
-parity. Host-side (PIL/numpy) with a thread prefetcher; the TPU only ever
-sees fixed-shape float32 batches.
+Every degradation knob the reference Config accepts
+(/root/reference/config.py:146-170) is honored here via ``DegradeConfig``:
+train_trans_mode (simple / aug_v1 / aug_v2 / realesrgan), the blur family
+probs (gaussian / advance [anisotropic] / sinc + sinc factor range), the
+noise family probs (gauss / iso / multiplicative), image compression prob +
+quality bounds, usm_sharpener, and interpolation. Unknown values raise. The
+exact recipes were never shipped, so the chains are documented re-creations
+of the Real-ESRGAN-style pipeline the knobs describe, not parity. Host-side
+(numpy/scipy/PIL + the native C helpers) with a thread prefetcher; the TPU
+only ever sees fixed-shape float32 batches.
 """
 
 from __future__ import annotations
@@ -22,11 +29,68 @@ import io
 import os
 import queue
 import threading
-from typing import Iterator
+from dataclasses import dataclass
+from typing import Iterator, Optional
 
 import numpy as np
 
 CLASS_REALSR, CLASS_DENOISE, CLASS_SR = 0, 1, 2
+
+TRANS_MODES = ('simple', 'aug_v1', 'aug_v2', 'realesrgan')
+INTERPOLATIONS = ('BILINEAR', 'BICUBIC', 'LANCZOS')
+
+
+@dataclass
+class DegradeConfig:
+    """The reference's degradation config surface (config.py:146-170)."""
+
+    trans_mode: str = 'realesrgan'
+    usm_sharpener: bool = False
+    interpolation: str = 'BICUBIC'
+    blur_prob: float = 0.5
+    advance_blur_prob: float = 0.5
+    gaussian_blur_prob: float = 0.5
+    sinc_blur_prob: float = 0.5
+    sinc_blur_factor_min: float = 0.9
+    sinc_blur_factor_max: float = 1.1
+    image_compression_prob: float = 0.5
+    quality_lower: int = 50
+    quality_upper: int = 100
+    noise_prob: float = 0.5
+    gauss_noise_prob: float = 0.5
+    iso_noise_prob: float = 0.5
+    multiplicative_noise_prob: float = 0.5
+
+    def __post_init__(self):
+        if self.trans_mode not in TRANS_MODES:
+            raise ValueError(
+                f'unsupported train_trans_mode {self.trans_mode!r}; '
+                f'supported: {TRANS_MODES}')
+        if self.interpolation not in INTERPOLATIONS:
+            raise ValueError(
+                f'unsupported interpolation {self.interpolation!r}; '
+                f'supported: {INTERPOLATIONS}')
+
+    @classmethod
+    def from_conf(cls, conf) -> 'DegradeConfig':
+        return cls(
+            trans_mode=conf.train_trans_mode,
+            usm_sharpener=conf.usm_sharpener,
+            interpolation=conf.interpolation,
+            blur_prob=conf.blur_prob,
+            advance_blur_prob=conf.advance_blur_prob,
+            gaussian_blur_prob=conf.gaussian_blur_prob,
+            sinc_blur_prob=conf.sinc_blur_prob,
+            sinc_blur_factor_min=conf.sinc_blur_factor_min,
+            sinc_blur_factor_max=conf.sinc_blur_factor_max,
+            image_compression_prob=conf.image_compression_prob,
+            quality_lower=conf.quality_lower,
+            quality_upper=conf.quality_upper,
+            noise_prob=conf.noise_prob,
+            gauss_noise_prob=conf.gauss_noise_prob,
+            iso_noise_prob=conf.iso_noise_prob,
+            multiplicative_noise_prob=conf.multiplicative_noise_prob,
+        )
 
 
 def list_images(root: str) -> list:
@@ -79,45 +143,220 @@ def _gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
         ImageFilter.GaussianBlur(radius=sigma)))
 
 
-def _resize(img: np.ndarray, size) -> np.ndarray:
+def _resize(img: np.ndarray, size, interpolation: str = 'BICUBIC') -> np.ndarray:
     # size is (W, H) PIL-style
-    from srgd_tpu.train import native
-    out = native.bicubic_resize(img, size[1], size[0])
-    if out is not None:
-        return out
+    if interpolation == 'BICUBIC':
+        from srgd_tpu.train import native
+        out = native.bicubic_resize(img, size[1], size[0])
+        if out is not None:
+            return out
     from PIL import Image
-    return np.asarray(Image.fromarray(img).resize(size, Image.BICUBIC))
+    resample = {'BILINEAR': Image.BILINEAR, 'BICUBIC': Image.BICUBIC,
+                'LANCZOS': Image.LANCZOS}[interpolation]
+    return np.asarray(Image.fromarray(img).resize(size, resample))
+
+
+# ---------------------------------------------------------------------------
+# Degradation ops (Real-ESRGAN-style; uint8 in/out, float32 internal)
+# ---------------------------------------------------------------------------
+
+def _conv2d(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Per-channel reflect-padded 2D convolution, uint8 -> uint8."""
+    from scipy.ndimage import convolve
+    out = np.empty_like(img, dtype=np.float32)
+    for ch in range(img.shape[2]):
+        out[:, :, ch] = convolve(img[:, :, ch].astype(np.float32), kernel,
+                                 mode='reflect')
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def sinc_kernel(cutoff: float, size: int = 21) -> np.ndarray:
+    """2D circular low-pass (sinc) filter, the Real-ESRGAN ringing/overshoot
+    kernel: k(r) = cutoff * J1(cutoff*r) / (2*pi*r), normalized to sum 1."""
+    from scipy.special import j1
+    assert size % 2 == 1
+    ax = np.arange(size) - size // 2
+    xx, yy = np.meshgrid(ax, ax)
+    r = np.sqrt(xx * xx + yy * yy)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        k = cutoff * j1(cutoff * r) / (2 * np.pi * r)
+    k[size // 2, size // 2] = cutoff ** 2 / (4 * np.pi)
+    return (k / k.sum()).astype(np.float32)
+
+
+def aniso_gaussian_kernel(sig_x: float, sig_y: float, theta: float,
+                          size: int = 21) -> np.ndarray:
+    """Rotated anisotropic Gaussian kernel (the 'advance blur')."""
+    assert size % 2 == 1
+    ax = np.arange(size) - size // 2
+    xx, yy = np.meshgrid(ax, ax)
+    c, s = np.cos(theta), np.sin(theta)
+    xr = c * xx + s * yy
+    yr = -s * xx + c * yy
+    k = np.exp(-0.5 * ((xr / sig_x) ** 2 + (yr / sig_y) ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def iso_noise(img: np.ndarray, rng: np.random.Generator,
+              color_shift: float = 0.03, intensity: float = 0.5) -> np.ndarray:
+    """Camera-sensor-style noise: Poisson-scaled luminance noise plus a hue
+    shift on the chroma (the ISONoise transform the config names)."""
+    f = img.astype(np.float32) / 255.0
+    lum = f.mean(axis=2, keepdims=True)
+    poisson = rng.poisson(lum * 255.0 * intensity) / (255.0 * intensity + 1e-8)
+    f = f + (poisson - lum) * intensity
+    shift = rng.normal(0, color_shift, (1, 1, 3)).astype(np.float32)
+    f = f + shift * intensity
+    return np.clip(f * 255.0, 0, 255).astype(np.uint8)
+
+
+def multiplicative_noise(img: np.ndarray, rng: np.random.Generator,
+                         lo: float = 0.9, hi: float = 1.1) -> np.ndarray:
+    gain = rng.uniform(lo, hi, img.shape).astype(np.float32)
+    return np.clip(img.astype(np.float32) * gain, 0, 255).astype(np.uint8)
+
+
+def gauss_noise(img: np.ndarray, rng: np.random.Generator,
+                sigma_range=(2.0, 20.0)) -> np.ndarray:
+    sigma = rng.uniform(*sigma_range)
+    out = img.astype(np.float32) + rng.normal(0, sigma, img.shape)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def usm_sharpen(img: np.ndarray, weight: float = 0.5, radius: float = 2.0,
+                threshold: int = 10) -> np.ndarray:
+    """Unsharp masking of HR targets (usm_sharpener, config.py:156): sharpen
+    only where the residual exceeds the threshold (Real-ESRGAN USMSharp)."""
+    blur = _gaussian_blur(img, radius).astype(np.float32)
+    residual = img.astype(np.float32) - blur
+    mask = (np.abs(residual) > threshold).astype(np.float32)
+    out = img.astype(np.float32) + weight * residual * mask
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _apply_blur(img: np.ndarray, rng: np.random.Generator,
+                cfg: DegradeConfig, blur_sigma=(0.2, 2.0)) -> np.ndarray:
+    """OneOf blur gated by the per-kind probs (blur_prob gates the group)."""
+    kinds, weights = [], []
+    for kind, p in (('gaussian', cfg.gaussian_blur_prob),
+                    ('advance', cfg.advance_blur_prob),
+                    ('sinc', cfg.sinc_blur_prob)):
+        if p > 0:
+            kinds.append(kind)
+            weights.append(p)
+    if not kinds:
+        return img
+    w = np.asarray(weights) / np.sum(weights)
+    kind = kinds[int(rng.choice(len(kinds), p=w))]
+    if kind == 'gaussian':
+        return _gaussian_blur(img, float(rng.uniform(*blur_sigma)))
+    if kind == 'advance':
+        return _conv2d(img, aniso_gaussian_kernel(
+            float(rng.uniform(0.2, 3.0)), float(rng.uniform(0.2, 3.0)),
+            float(rng.uniform(0, np.pi)), size=21))
+    # sinc: cutoff scaled by the configured factor range around pi/3
+    factor = rng.uniform(cfg.sinc_blur_factor_min, cfg.sinc_blur_factor_max)
+    cutoff = float(np.clip((np.pi / 3.0) * factor, 0.1, np.pi))
+    return _conv2d(img, sinc_kernel(cutoff, size=21))
+
+
+def _apply_noise(img: np.ndarray, rng: np.random.Generator,
+                 cfg: DegradeConfig, sigma_range=(2.0, 20.0)) -> np.ndarray:
+    kinds, weights = [], []
+    for kind, p in (('gauss', cfg.gauss_noise_prob),
+                    ('iso', cfg.iso_noise_prob),
+                    ('mult', cfg.multiplicative_noise_prob)):
+        if p > 0:
+            kinds.append(kind)
+            weights.append(p)
+    if not kinds:
+        return img
+    w = np.asarray(weights) / np.sum(weights)
+    kind = kinds[int(rng.choice(len(kinds), p=w))]
+    if kind == 'gauss':
+        return gauss_noise(img, rng, sigma_range)
+    if kind == 'iso':
+        return iso_noise(img, rng)
+    return multiplicative_noise(img, rng)
+
+
+def _degrade_chain(hr: np.ndarray, rng: np.random.Generator,
+                   cfg: DegradeConfig, scale: int = 4) -> np.ndarray:
+    """The 'realsr' class chain, selected by cfg.trans_mode."""
+    size = hr.shape[0]
+    lr_size = size // scale
+    interp = cfg.interpolation
+
+    if cfg.trans_mode == 'simple':
+        return _resize(_resize(hr, (lr_size, lr_size), interp),
+                       (size, size), interp)
+
+    if cfg.trans_mode in ('aug_v1', 'aug_v2'):
+        # one round: OneOf blur -> downscale -> OneOf noise -> jpeg
+        out = hr
+        if rng.random() < cfg.blur_prob:
+            out = _apply_blur(out, rng, cfg)
+        out = _resize(out, (lr_size, lr_size), interp)
+        if rng.random() < cfg.noise_prob:
+            out = _apply_noise(out, rng, cfg, sigma_range=(2.0, 20.0 / scale * 4))
+        if rng.random() < cfg.image_compression_prob:
+            out = _jpeg(out, int(rng.integers(cfg.quality_lower,
+                                              cfg.quality_upper + 1)))
+        if cfg.trans_mode == 'aug_v2':
+            # v2 adds a second, milder noise+compression round
+            if rng.random() < cfg.noise_prob * 0.5:
+                out = _apply_noise(out, rng, cfg, sigma_range=(1.0, 8.0))
+            if rng.random() < cfg.image_compression_prob * 0.5:
+                out = _jpeg(out, int(rng.integers(cfg.quality_lower,
+                                                  cfg.quality_upper + 1)))
+        return _resize(out, (size, size), interp)
+
+    # realesrgan: two-stage chain + optional final sinc (Real-ESRGAN fig. 2)
+    out = hr
+    cur = size
+    for stage, (down_lo, down_hi) in enumerate([(0.4, 0.7), (0.6, 1.0)]):
+        if rng.random() < cfg.blur_prob:
+            out = _apply_blur(out, rng, cfg)
+        cur = max(lr_size, int(size * rng.uniform(down_lo, down_hi)))
+        out = _resize(out, (cur, cur), interp)
+        if rng.random() < cfg.noise_prob:
+            out = _apply_noise(out, rng, cfg)
+        if rng.random() < cfg.image_compression_prob:
+            out = _jpeg(out, int(rng.integers(cfg.quality_lower,
+                                              cfg.quality_upper + 1)))
+    out = _resize(out, (lr_size, lr_size), interp)
+    if rng.random() < cfg.sinc_blur_prob:
+        factor = rng.uniform(cfg.sinc_blur_factor_min, cfg.sinc_blur_factor_max)
+        cutoff = float(np.clip((np.pi / 3.0) * factor, 0.1, np.pi))
+        out = _conv2d(out, sinc_kernel(cutoff, size=11))
+    return _resize(out, (size, size), interp)
 
 
 def degrade(hr: np.ndarray, label: int, rng: np.random.Generator,
             scale: int = 4, quality_lower: int = 50, quality_upper: int = 95,
-            noise_range=(2.0, 20.0), blur_sigma=(0.2, 2.0)) -> np.ndarray:
+            noise_range=(2.0, 20.0), blur_sigma=(0.2, 2.0),
+            cfg: Optional[DegradeConfig] = None) -> np.ndarray:
     """HR uint8 (S, S, 3) -> degraded condition uint8 (S, S, 3) (already
-    bicubic-upscaled back to HR size, as fed to the net)."""
+    bicubic-upscaled back to HR size, as fed to the net).
+
+    The quality_* kwargs are a legacy shorthand; a full DegradeConfig takes
+    precedence for the realsr-class chain."""
+    if cfg is None:
+        cfg = DegradeConfig(quality_lower=quality_lower,
+                            quality_upper=quality_upper)
     size = hr.shape[0]
     lr_size = size // scale
 
     if label == CLASS_SR:
-        lr = _resize(hr, (lr_size, lr_size))
-        return _resize(lr, (size, size))
+        lr = _resize(hr, (lr_size, lr_size), cfg.interpolation)
+        return _resize(lr, (size, size), cfg.interpolation)
 
     if label == CLASS_DENOISE:
         sigma = rng.uniform(*noise_range)
         noisy = hr.astype(np.float32) + rng.normal(0, sigma, hr.shape)
         return np.clip(noisy, 0, 255).astype(np.uint8)
 
-    # CLASS_REALSR: blur -> down -> noise -> jpeg -> up
-    out = hr
-    if rng.random() < 0.8:
-        out = _gaussian_blur(out, float(rng.uniform(*blur_sigma)))
-    out = _resize(out, (lr_size, lr_size))
-    if rng.random() < 0.8:
-        sigma = rng.uniform(*noise_range) / scale
-        out = np.clip(out.astype(np.float32)
-                      + rng.normal(0, sigma, out.shape), 0, 255).astype(np.uint8)
-    if rng.random() < 0.8:
-        out = _jpeg(out, int(rng.integers(quality_lower, quality_upper + 1)))
-    return _resize(out, (size, size))
+    return _degrade_chain(hr, rng, cfg, scale=scale)
 
 
 class DegradationDataset:
@@ -126,7 +365,8 @@ class DegradationDataset:
     def __init__(self, root: str, crop_size: int = 256, batch_size: int = 16,
                  num_classes: int = 3, hflip: bool = True, rotate: bool = True,
                  seed: int = 0, num_workers: int = 4,
-                 quality_lower: int = 50, quality_upper: int = 95):
+                 quality_lower: int = 50, quality_upper: int = 95,
+                 degrade_cfg: Optional[DegradeConfig] = None):
         self.files = list_images(root)
         if not self.files:
             raise FileNotFoundError(f'no images under {root}')
@@ -136,7 +376,8 @@ class DegradationDataset:
         self.hflip, self.rotate = hflip, rotate
         self.seed = seed
         self.num_workers = max(1, num_workers)
-        self.quality = (quality_lower, quality_upper)
+        self.cfg = degrade_cfg or DegradeConfig(quality_lower=quality_lower,
+                                                quality_upper=quality_upper)
 
     def _sample(self, rng: np.random.Generator):
         from PIL import Image
@@ -145,8 +386,10 @@ class DegradationDataset:
         hr = _augment(_random_crop(img, self.crop_size, rng), rng,
                       self.hflip, self.rotate)
         label = int(rng.integers(0, self.num_classes))
-        cond = degrade(hr, label, rng, quality_lower=self.quality[0],
-                       quality_upper=self.quality[1])
+        cond = degrade(hr, label, rng, cfg=self.cfg)
+        if self.cfg.usm_sharpener and self.cfg.trans_mode == 'realesrgan':
+            # Real-ESRGAN sharpens the GT when usm_sharpener is on
+            hr = usm_sharpen(hr)
         return hr, cond, label
 
     def _make_batch(self, rng: np.random.Generator):

@@ -64,11 +64,12 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
     net = build_unet_from_config(conf)
     wrapper = build_wrapper(conf, net)
 
+    from srgd_tpu.train.data import DegradeConfig
     ds = DegradationDataset(
         data_dir, crop_size=conf.hr_image_size, batch_size=conf.batch_size,
         num_classes=conf.num_classes, hflip=conf.hflip, rotate=conf.rotate,
         seed=conf.seed, num_workers=conf.num_workers,
-        quality_lower=conf.quality_lower, quality_upper=conf.quality_upper)
+        degrade_cfg=DegradeConfig.from_conf(conf))
 
     rng = jax.random.PRNGKey(conf.seed)
     kwargs = {'class_label': jnp.zeros((1,), jnp.int32)} if conditional else {}

@@ -35,6 +35,57 @@ def test_degrade_classes(image_dir):
     np.testing.assert_array_equal(a, b)
 
 
+def test_degrade_config_surface(image_dir):
+    """Every reference degradation knob (config.py:146-170) is honored or
+    rejected — no silently-ignored accepted config."""
+    from srgd_tpu.train.data import (
+        DegradeConfig, aniso_gaussian_kernel, degrade, iso_noise,
+        multiplicative_noise, sinc_kernel, usm_sharpen)
+
+    rng = np.random.default_rng(0)
+    hr = np.asarray(Image.open(image_dir / 'im0.png'))[:64, :64]
+
+    # each trans_mode produces a valid condition image for the realsr class
+    for mode in ('simple', 'aug_v1', 'aug_v2', 'realesrgan'):
+        cfg = DegradeConfig(trans_mode=mode)
+        out = degrade(hr, 0, np.random.default_rng(1), cfg=cfg)
+        assert out.shape == hr.shape and out.dtype == np.uint8, mode
+
+    # unknown values raise instead of being ignored
+    with pytest.raises(ValueError):
+        DegradeConfig(trans_mode='mystery')
+    with pytest.raises(ValueError):
+        DegradeConfig(interpolation='NEAREST')
+
+    # kernels are normalized and shaped
+    k = sinc_kernel(np.pi / 3, size=21)
+    assert k.shape == (21, 21) and abs(float(k.sum()) - 1.0) < 1e-5
+    k = aniso_gaussian_kernel(1.0, 3.0, 0.7, size=21)
+    assert abs(float(k.sum()) - 1.0) < 1e-5
+    # anisotropy: rotated kernel differs from its transpose
+    assert not np.allclose(k, k.T)
+
+    # noise ops change the image but stay uint8 in-range
+    for op in (lambda im: iso_noise(im, rng),
+               lambda im: multiplicative_noise(im, rng)):
+        out = op(hr)
+        assert out.dtype == np.uint8 and out.shape == hr.shape
+        assert not np.array_equal(out, hr)
+
+    # usm sharpening keeps dtype/shape and increases local contrast
+    sharp = usm_sharpen(hr)
+    assert sharp.dtype == np.uint8 and sharp.shape == hr.shape
+    assert float(np.std(sharp.astype(np.float32))) >= \
+        float(np.std(hr.astype(np.float32))) - 1e-3
+
+    # per-kind probs select deterministically when only one kind is enabled
+    cfg = DegradeConfig(blur_prob=1.0, gaussian_blur_prob=0.0,
+                        advance_blur_prob=0.0, sinc_blur_prob=1.0,
+                        noise_prob=0.0, image_compression_prob=0.0)
+    out = degrade(hr, 0, np.random.default_rng(2), cfg=cfg)
+    assert out.shape == hr.shape
+
+
 def test_dataset_batches(image_dir):
     from srgd_tpu.train.data import DegradationDataset
     ds = DegradationDataset(str(image_dir), crop_size=32, batch_size=4,
