@@ -206,6 +206,8 @@ class Config:
     tile_size: int = 256
     tile_stride: int = 256
     capture_trajectory: bool = False  # with_images analogue for samplers
+    lpips_weights_path: str = ''      # converted VGG16+LPIPS .npz for
+                                      # test_target: best_lpips (utils/lpips.py)
 
 
 def load_config(config_file) -> Config:

@@ -54,16 +54,37 @@ class RMSNorm(nn.Module):
         return out.astype(self.dtype)
 
 
+def _group_onehot(c: int, num_groups: int) -> jnp.ndarray:
+    """(C, G) one-hot: channel c belongs to group c // (C/G)."""
+    import numpy as np
+    return jnp.asarray(np.kron(np.eye(num_groups, dtype=np.float32),
+                               np.ones((c // num_groups, 1), np.float32)))
+
+
 def group_norm(x, scale, bias, num_groups: int = 8, eps: float = 1e-5):
     """GroupNorm over NHWC in float32, matching torch nn.GroupNorm semantics
-    (normalize over spatial x channels-within-group)."""
+    (normalize over spatial x channels-within-group).
+
+    TPU layout note: group stats come from one-hot matmuls over the intact
+    (..., C) minor dim instead of a reshape to (..., G, C/G) — the tiny-minor
+    reshape forces relayouts of the whole activation on TPU (measured ~6 ms
+    of a 73 ms dim-128 forward; tools/perf_probe2.py). Stats matmuls run at
+    Precision.HIGHEST so float32 fidelity survives the TPU's default-bf16
+    matmul units."""
     b, h, w, c = x.shape
-    xf = _f32(x).reshape(b, h, w, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(b, h, w, c)
-    return xf * _f32(scale) + _f32(bias)
+    cg = c // num_groups
+    onehot = _group_onehot(c, num_groups)
+    xf = _f32(x)
+    hi = jax.lax.Precision.HIGHEST
+    s1 = jnp.einsum('bhwc,cg->bg', xf, onehot, precision=hi)
+    s2 = jnp.einsum('bhwc,cg->bg', xf * xf, onehot, precision=hi)
+    cnt = float(h * w * cg)
+    mean = s1 / cnt
+    var = s2 / cnt - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, cg, axis=1)[:, None, None, :]
+    inv_c = jnp.repeat(inv, cg, axis=1)[:, None, None, :]
+    return (xf - mean_c) * inv_c * _f32(scale) + _f32(bias)
 
 
 # ---------------------------------------------------------------------------
@@ -223,6 +244,13 @@ class ResnetBlock(nn.Module):
 # Attention
 # ---------------------------------------------------------------------------
 
+def _head_blockdiag(c: int, dim_head: int) -> jnp.ndarray:
+    """(C, C) block-diagonal ones, one block per head."""
+    import numpy as np
+    eye = np.eye(c // dim_head, dtype=np.float32)
+    return jnp.asarray(np.kron(eye, np.ones((dim_head, dim_head), np.float32)))
+
+
 class LinearAttention(nn.Module):
     """Linear attention with softmax-normalized q (over channel) and k (over
     sequence). Parity: /root/reference/model.py:287-324.
@@ -255,22 +283,36 @@ class LinearAttention(nn.Module):
             out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name='to_out')(out)
             return RMSNorm(self.dim, dtype=self.dtype, name='out_norm')(out)
 
-        # channels are packed [q|k|v], each head-major: index = head*dim_head + c
-        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q, k, v = (_f32(qkv[:, :, i]) for i in range(3))  # (b, n, heads, d)
+        # TPU layout design: everything stays (b, n, C)-minor with the heads
+        # packed in the channel dim (c = head*dim_head + d) — reshaping to
+        # (b, n, heads, 32) relayouts the whole activation (measured ~21 ms of
+        # a 73 ms dim-128 forward; tools/perf_probe2.py). Per-head softmax of
+        # q: subtracting the global row max is exact (softmax is shift-
+        # invariant within each head) and the per-head denominators come from
+        # one block-diagonal matmul. The context/out contractions run full
+        # C x C with cross-head terms zeroed by the same block-diagonal mask.
+        blk = _head_blockdiag(hidden, self.dim_head)
+        hi = jax.lax.Precision.HIGHEST
 
-        q = jax.nn.softmax(q, axis=-1)          # over channel dim d
-        k = jax.nn.softmax(k, axis=1)           # over sequence n
-        q = (q * (self.dim_head ** -0.5)).astype(self.dtype)
-        k = k.astype(self.dtype)
-        v = v.astype(self.dtype)
+        qkv = qkv.reshape(b, n, 3 * hidden)
+        q = _f32(qkv[..., :hidden])
+        k = _f32(qkv[..., hidden:2 * hidden])
+        v = qkv[..., 2 * hidden:].astype(self.dtype)
 
-        # context[d, e] = sum_n k[n, d] v[n, e]; out[n, e] = sum_d context[d, e] q[n, d]
-        # (softmax stats in f32; the big einsum operands in compute dtype so the
-        # MXU contraction streams bf16 instead of f32 materializations)
-        context = jnp.einsum('bnhd,bnhe->bhde', k, v,
+        eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+        denom = jnp.einsum('bnc,ce->bne', eq, blk, precision=hi)
+        qn = (eq / denom * (self.dim_head ** -0.5)).astype(self.dtype)
+
+        ek = jnp.exp(k - jnp.max(k, axis=1, keepdims=True))  # softmax over n
+        kn = (ek / jnp.sum(ek, axis=1, keepdims=True)).astype(self.dtype)
+
+        # context[d, e] = sum_n kn[n, d] v[n, e] (cross-head terms masked);
+        # out[n, e] = sum_d qn[n, d] context[d, e]. Big operands stream in
+        # compute dtype with f32 accumulation, as before.
+        context = jnp.einsum('bnd,bne->bde', kn, v,
                              preferred_element_type=jnp.float32)
-        out = jnp.einsum('bhde,bnhd->bnhe', context.astype(self.dtype), q,
+        context = (context * blk[None]).astype(self.dtype)
+        out = jnp.einsum('bnd,bde->bne', qn, context,
                          preferred_element_type=jnp.float32)
         out = out.reshape(b, h, w, hidden).astype(self.dtype)
 

@@ -24,10 +24,11 @@ from srgd_tpu.utils.profiling import PhaseTimer
 logger = logging.getLogger('srgd_tpu.train')
 
 
-def validate(conf, wrapper, params, val_dir: str, rng, num_images: int = 4):
+def validate(conf, wrapper, params, val_dir: str, rng, num_images: int = 4,
+             lpips_params=None):
     """Sample with the current (EMA) params on degraded val crops and score
-    PSNR/SSIM — the metric surface the reference's config names
-    (test_target best_psnr/ssim, config.py:181) but never shipped."""
+    PSNR/SSIM (+ LPIPS when weights are provided) — the metric surface the
+    reference's config names (test_target, config.py:181) but never shipped."""
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +45,25 @@ def validate(conf, wrapper, params, val_dir: str, rng, num_images: int = 4):
     out = wrapper.sample(params, rng, cond,
                          jnp.asarray(label) if conditional else None,
                          num_sample_steps=conf.val_num_sample_steps)
-    return float(psnr(out, hr)), float(ssim(out, hr))
+    metrics = {'psnr': float(psnr(out, hr)), 'ssim': float(ssim(out, hr))}
+    if lpips_params is not None:
+        from srgd_tpu.utils.lpips import lpips
+        metrics['lpips'] = float(jnp.mean(lpips(out, hr, lpips_params)))
+    return metrics
+
+
+def _load_lpips_or_raise(conf):
+    """test_target: best_lpips needs converted VGG16+LPIPS weights — the
+    pretrained nets cannot be fetched in this environment (utils/lpips.py)."""
+    if not conf.lpips_weights_path:
+        raise NotImplementedError(
+            "test_target: best_lpips requires conf.lpips_weights_path (a "
+            ".npz produced by srgd_tpu.utils.lpips.convert_torch_lpips from "
+            "the official torchvision VGG16 + lpips linear weights); LPIPS "
+            "is otherwise unsupported because pretrained weights cannot be "
+            "downloaded here.")
+    from srgd_tpu.utils.lpips import load_lpips_params
+    return load_lpips_params(conf.lpips_weights_path)
 
 
 def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
@@ -63,6 +82,12 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
     conditional = 'conditional' in conf.model
     net = build_unet_from_config(conf)
     wrapper = build_wrapper(conf, net)
+
+    # checkpoint-selection policy (reference config.py:181)
+    target = conf.test_target
+    if target not in ('best_loss', 'best_psnr', 'best_ssim', 'best_lpips'):
+        raise ValueError(f'unknown test_target {target!r}')
+    lpips_params = _load_lpips_or_raise(conf) if target == 'best_lpips' else None
 
     from srgd_tpu.train.data import DegradeConfig
     ds = DegradationDataset(
@@ -92,7 +117,7 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
     state = create_train_state(params, optimizer)
 
     ckpt_dir = os.path.join(out_dir, 'ckpt')
-    best_psnr = -1.0
+    best_score = -float(np.inf)
     if resume and os.path.isdir(ckpt_dir):
         raw = restore_params(ckpt_dir)
         if 'opt_state' in raw:
@@ -101,9 +126,9 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
             restored = restore_params(ckpt_dir, template={
                 'params': state.params, 'ema_params': state.ema_params,
                 'opt_state': state.opt_state, 'step': 0,
-                'best_psnr': 0.0})
+                'best_score': 0.0})
             opt_state = restored['opt_state']
-            best_psnr = float(restored.get('best_psnr', -1.0))
+            best_score = float(restored.get('best_score', -np.inf))
         else:  # legacy checkpoint without optimizer state
             logger.warning('checkpoint has no opt_state; Adam moments reset')
             restored, opt_state = raw, state.opt_state
@@ -122,7 +147,7 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
             'params': jax.device_get(state.params),
             'ema_params': jax.device_get(state.ema_params),
             'opt_state': jax.device_get(state.opt_state),
-            'step': step, 'best_psnr': best_psnr})
+            'step': step, 'best_score': best_score})
 
     os.makedirs(out_dir, exist_ok=True)
     losses = []
@@ -151,14 +176,23 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
                 with timer.phase('save'):
                     save_state(ckpt_dir, step)
                 logger.info('saved checkpoint at step %d -> %s', step, ckpt_dir)
-                if val_dir and not conf.skip_val:
+                # score per conf.test_target (higher = better; loss/lpips
+                # negated); best_loss needs no validation pass
+                score = None
+                if target == 'best_loss':
+                    score = -float(np.mean(losses[-log_every:]))
+                elif val_dir and not conf.skip_val:
                     with timer.phase('val'):
-                        p, s_ = validate(conf, wrapper, state.ema_params,
-                                         val_dir, jax.random.fold_in(rng, step))
-                    logger.info('val @%d: PSNR %.2f dB  SSIM %.4f', step, p, s_)
-                    if p > best_psnr:
-                        best_psnr = p
-                        save_state(os.path.join(out_dir, 'ckpt_best_psnr'), step)
+                        m = validate(conf, wrapper, state.ema_params, val_dir,
+                                     jax.random.fold_in(rng, step),
+                                     lpips_params=lpips_params)
+                    logger.info('val @%d: %s', step,
+                                '  '.join(f'{k} {v:.4f}' for k, v in m.items()))
+                    score = {'best_psnr': m['psnr'], 'best_ssim': m['ssim'],
+                             'best_lpips': -m.get('lpips', np.inf)}[target]
+                if score is not None and score > best_score:
+                    best_score = score
+                    save_state(os.path.join(out_dir, f'ckpt_{target}'), step)
     logger.info('phase breakdown:\n%s', timer.report())
     return state
 

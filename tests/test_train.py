@@ -224,6 +224,68 @@ def test_validate(image_dir):
                   learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
                   hr_image_size=16, num_sample_steps=2, val_num_sample_steps=2)
     wrapper, net, params = get_model(conf)
-    p, s = validate(conf, wrapper, params, str(image_dir),
-                    jax.random.PRNGKey(0), num_images=2)
-    assert np.isfinite(p) and -1 <= s <= 1
+    m = validate(conf, wrapper, params, str(image_dir),
+                 jax.random.PRNGKey(0), num_images=2)
+    assert np.isfinite(m['psnr']) and -1 <= m['ssim'] <= 1
+
+
+def test_lpips_math_and_converter():
+    """LPIPS structure: zero at identity, positive and symmetric otherwise;
+    torch-format converter round-trips through save/load."""
+    from srgd_tpu.utils.lpips import (
+        convert_torch_lpips, load_lpips_params, lpips, random_lpips_params,
+        save_lpips_params)
+
+    params = random_lpips_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    d_aa = lpips(a, a, params)
+    d_ab = lpips(a, b, params)
+    d_ba = lpips(b, a, params)
+    assert d_aa.shape == (2,)
+    np.testing.assert_allclose(np.asarray(d_aa), 0.0, atol=1e-5)
+    assert (np.asarray(d_ab) > 0).all()
+    np.testing.assert_allclose(np.asarray(d_ab), np.asarray(d_ba), rtol=1e-5)
+
+    # converter: synthetic torch-shaped state dicts (OIHW) -> pytree
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    widths = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    vgg_sd, c_in = {}, 3
+    for idx, w in zip(conv_idx, widths):
+        vgg_sd[f'{idx}.weight'] = rng.normal(size=(w, c_in, 3, 3)).astype(np.float32)
+        vgg_sd[f'{idx}.bias'] = np.zeros((w,), np.float32)
+        c_in = w
+    lin_sd = {f'lin{k}.model.1.weight':
+              np.abs(rng.normal(size=(1, c, 1, 1)).astype(np.float32))
+              for k, c in enumerate([64, 128, 256, 512, 512])}
+    p2 = convert_torch_lpips(vgg_sd, lin_sd)
+    d = lpips(a, b, p2)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_lpips_save_load_roundtrip(tmp_path):
+    from srgd_tpu.utils.lpips import (
+        load_lpips_params, lpips, random_lpips_params, save_lpips_params)
+    params = random_lpips_params(jax.random.PRNGKey(1))
+    path = str(tmp_path / 'lpips.npz')
+    save_lpips_params(path, params)
+    p2 = load_lpips_params(path)
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(lpips(a, b, params)),
+                               np.asarray(lpips(a, b, p2)), rtol=1e-6)
+
+
+def test_best_lpips_requires_weights(tmp_path):
+    """test_target: best_lpips without converted weights is a hard, named
+    error — never a silently-degraded run."""
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.loop import train
+    conf = Config(model='conditional_continuous', unet_dim=8,
+                  ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                  hr_image_size=16, batch_size=2, test_target='best_lpips')
+    with pytest.raises(NotImplementedError, match='lpips'):
+        train(conf, 'unused', str(tmp_path / 'x'), total_steps=1)
