@@ -16,7 +16,11 @@ We assume the torch/cuDNN path sustains 35% of A100 TF32 peak (156 TFLOP/s)
 This is an *estimate*, recorded so the ratio is at least derived, not invented.
 
 Env knobs: BENCH_LR_SIZE (512), BENCH_STEPS (8), BENCH_FULL_STEPS (250),
-BENCH_BATCH (8), BENCH_DTYPE (bfloat16).
+BENCH_BATCH (8), BENCH_DTYPE (bfloat16), BENCH_TRACE_DIR (jax.profiler
+trace of the measured run, off by default).
+
+Per-phase wall-clock breakdown (init / compile+first / measure) prints on
+stderr via utils.profiling.PhaseTimer.
 """
 
 import json
@@ -31,6 +35,7 @@ def main():
     full_steps = int(os.environ.get('BENCH_FULL_STEPS', 250))
     batch = int(os.environ.get('BENCH_BATCH', 8))
     dtype = os.environ.get('BENCH_DTYPE', 'bfloat16')
+    trace_dir = os.environ.get('BENCH_TRACE_DIR', '')
     assert meas_steps % 2 == 0, 'measure whole even/odd pairs'
 
     import jax
@@ -39,6 +44,9 @@ def main():
     import __graft_entry__ as ge
     from srgd_tpu.factory import build_wrapper
     from srgd_tpu.nn.unet import build_unet_from_config
+    from srgd_tpu.utils.profiling import PhaseTimer, trace
+
+    timer = PhaseTimer()
 
     conf = ge._flagship_conf()
     conf.compute_dtype = dtype
@@ -49,12 +57,14 @@ def main():
     rng = jax.random.PRNGKey(71)
     cond = jax.random.uniform(jax.random.PRNGKey(1), (1, hr, hr, 3), jnp.float32)
 
-    params = jax.jit(lambda k: net.init(
-        k, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,)),
-        cond=jnp.zeros((1, 256, 256, 3)),
-        class_label=jnp.zeros((1,), jnp.int32)))(jax.random.PRNGKey(0))
-    if dtype == 'bfloat16':
-        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    with timer.phase('init'):
+        params = jax.jit(lambda k: net.init(
+            k, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,)),
+            cond=jnp.zeros((1, 256, 256, 3)),
+            class_label=jnp.zeros((1,), jnp.int32)))(jax.random.PRNGKey(0))
+        if dtype == 'bfloat16':
+            params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        jax.block_until_ready(params)
 
     label = jnp.zeros((1,), jnp.int32)
 
@@ -70,11 +80,13 @@ def main():
         return out
 
     t0 = time.time()
-    out = run(meas_steps)
+    with timer.phase('compile+first'):
+        out = run(meas_steps)
     compile_and_first = time.time() - t0
 
     t0 = time.time()
-    out = run(meas_steps)
+    with timer.phase('measure'), trace(trace_dir):
+        out = run(meas_steps)
     meas_time = time.time() - t0
 
     # per-pair cost -> full-step budget
@@ -84,8 +96,10 @@ def main():
     throughput = out_mpix / full_time  # MPix/s/chip at 250 steps
 
     # cost model for the baseline estimate (see module docstring):
-    # FLOPs = U-Net forward flops x chunk-calls per step pair x pairs
+    # FLOPs = per-tile U-Net forward flops x executed tiles (incl. any chunk
+    # padding, per-parity pick_chunk) x step pairs
     try:
+        from srgd_tpu.diffusion.base import pick_chunk
         from srgd_tpu.tiling import make_geometry
         geom = make_geometry(hr, hr, 256)
         fwd = jax.jit(lambda p, x, t, c, l: net.apply(
@@ -94,9 +108,11 @@ def main():
         flops_fwd = fwd.lower(params, xs, jnp.zeros((batch,)), xs,
                               jnp.zeros((batch,), jnp.int32)
                               ).compile().cost_analysis()['flops']
-        n_chunks_pair = (-(-geom.n_tiles_even // batch)
-                         + -(-geom.n_tiles_odd // batch))
-        total_flops = flops_fwd * n_chunks_pair * (full_steps / 2)
+        executed = 0
+        for n in (geom.n_tiles_even, geom.n_tiles_odd):
+            chunk = pick_chunk(n, batch)
+            executed += -(-n // chunk) * chunk
+        total_flops = flops_fwd / batch * executed * (full_steps / 2)
     except Exception:
         total_flops = None
     if total_flops:
@@ -116,6 +132,8 @@ def main():
           f'in {meas_time:.2f}s (compile+first {compile_and_first:.1f}s); '
           f'extrapolated {full_steps}-step latency {full_time:.1f}s/image; '
           f'total_flops={total_flops}', file=sys.stderr)
+    print(f'# phases: {"; ".join(timer.report().splitlines())}',
+          file=sys.stderr)
 
 
 if __name__ == '__main__':

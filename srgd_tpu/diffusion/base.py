@@ -95,24 +95,42 @@ def chunked_map(fn: Callable, n_chunks: int, *arrays):
         lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]), out)
 
 
+def pick_chunk(n_tiles: int, batch_size: int) -> int:
+    """Tile-chunk size for one grid parity: an exact divisor of n_tiles
+    <= batch_size when a sublane-aligned one exists (multiple of 8 and
+    >= batch_size/2) — zero padded-tile forwards, e.g. 64 tiles at
+    batch_size 16 -> 4 chunks of 16. Otherwise batch_size + padding:
+    measured on v5e, a non-multiple-of-8 batch costs far more via sublane
+    padding than the padded tiles do (batch 9 ran ~25% slower than batch 8
+    on the 81-tile grid). Results are chunk-invariant by design (noise is
+    drawn at canvas level), so this only affects speed."""
+    cap = max(1, min(batch_size, n_tiles))
+    for d in range(cap, 7, -1):
+        if n_tiles % d == 0 and d % 8 == 0 and 2 * d >= cap:
+            return d
+    return cap
+
+
 def prepare_tile_context(cond_padded, geom, batch: int, batch_size: int,
                          class_label):
     """Shared tiled-sampler setup: zero-margined condition canvas split into
     per-parity padded tile batches + per-tile labels + interior mask.
 
-    Returns (cond_tiles[2], label_tiles[2], n_chunks[2], chunk, interior_mask).
+    Returns (cond_tiles[2], label_tiles[2], n_chunks[2], chunks[2],
+    interior_mask). Chunk sizes are per-parity (pick_chunk) so each grid's
+    tile count divides exactly whenever possible.
     """
     from srgd_tpu.tiling import extract_tiles, zero_margin
 
     cond_zeroed = zero_margin(cond_padded, geom)
     n_tiles = (geom.n_tiles_even * batch, geom.n_tiles_odd * batch)
-    chunk = max(1, min(batch_size, max(n_tiles)))
+    chunks = [pick_chunk(n, batch_size) for n in n_tiles]
     cond_tiles, label_tiles, n_chunks = [], [], []
     for parity in (0, 1):
         ct, _ = pad_tiles_to_multiple(
-            extract_tiles(cond_zeroed, geom, parity), chunk)
+            extract_tiles(cond_zeroed, geom, parity), chunks[parity])
         cond_tiles.append(ct)
-        n_chunks.append(ct.shape[0] // chunk)
+        n_chunks.append(ct.shape[0] // chunks[parity])
         if class_label is not None:
             lt = jnp.repeat(class_label, n_tiles[parity] // batch)
             label_tiles.append(jnp.pad(lt, (0, ct.shape[0] - lt.shape[0])))
@@ -125,7 +143,7 @@ def prepare_tile_context(cond_padded, geom, batch: int, batch_size: int,
                                   jnp.float32).at[:, it:ib, il:ir, :].set(1.0)
     else:
         interior_mask = None
-    return cond_tiles, label_tiles, n_chunks, chunk, interior_mask
+    return cond_tiles, label_tiles, n_chunks, chunks, interior_mask
 
 
 def run_tiled_host_loop(jit_cache: dict, cache_key, step_builders: dict,

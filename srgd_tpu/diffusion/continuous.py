@@ -261,7 +261,7 @@ class ContinuousDiffusion:
 
         # condition canvas is zeroed outside the shifted-grid interior
         # (model.py:3340-3342); precompute per-parity condition/label tiles.
-        cond_tiles, label_tiles, n_chunks, chunk, interior_mask = \
+        cond_tiles, label_tiles, n_chunks, chunks, interior_mask = \
             prepare_tile_context(cond_padded, geom, b, batch_size, class_label)
 
         def make_parity_step(parity: int):
@@ -284,9 +284,9 @@ class ContinuousDiffusion:
                 # regardless of the tile-chunk (batch_size) setting
                 noise_canvas = jax.random.normal(key_t, canvas_shape, jnp.float32)
                 tiles = extract_tiles(img, geom, parity)
-                tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
+                tiles, n_orig = pad_tiles_to_multiple(tiles, chunks[parity])
                 noise, _ = pad_tiles_to_multiple(
-                    extract_tiles(noise_canvas, geom, parity), chunk)
+                    extract_tiles(noise_canvas, geom, parity), chunks[parity])
                 is_last = i == n_steps - 1
 
                 def chunk_fn(xs, cs, ns, *maybe_label):
@@ -326,7 +326,7 @@ class ContinuousDiffusion:
         if host_loop:
             cache_key = ('cont', geom, n_steps, mode, cond_scale,
                          class_cond_scale, guidance_start_steps,
-                         class_guidance_start_steps, chunk, tuple(n_chunks),
+                         class_guidance_start_steps, tuple(chunks), tuple(n_chunks),
                          class_label is None, b, self.noise_schedule,
                          self.clip_sample_denoised, capture_x0)
             state, frames = run_tiled_host_loop(

@@ -258,7 +258,7 @@ class ElucidatedDiffusion:
         else:
             img = sig[0] * jax.random.normal(init_key, canvas_shape, jnp.float32)
 
-        cond_tiles, label_tiles, n_chunks, chunk, interior_mask = \
+        cond_tiles, label_tiles, n_chunks, chunks, interior_mask = \
             prepare_tile_context(cond_padded, geom, b, batch_size, class_label)
 
         def make_parity_step(parity: int, second_order: bool):
@@ -287,7 +287,7 @@ class ElucidatedDiffusion:
                     jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0)) * eps
 
                 tiles = extract_tiles(img_hat, geom, parity)
-                tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
+                tiles, n_orig = pad_tiles_to_multiple(tiles, chunks[parity])
 
                 def chunk_fn(xs, cs_, *maybe_label):
                     lb = maybe_label[0] if maybe_label else None
@@ -331,7 +331,7 @@ class ElucidatedDiffusion:
         if host_loop:
             cache_key = ('edm', geom, n, mode, cond_scale, class_cond_scale,
                          guidance_start_steps, class_guidance_start_steps,
-                         chunk, tuple(n_chunks), class_label is None, b,
+                         tuple(chunks), tuple(n_chunks), class_label is None, b,
                          clamp, self.edm, capture_x0)
             builders = {('heun', 0): lambda: make_parity_step(0, True),
                         ('heun', 1): lambda: make_parity_step(1, True),

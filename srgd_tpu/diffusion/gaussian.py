@@ -298,7 +298,7 @@ class GaussianDiffusion:
         else:
             img = jax.random.normal(init_key, canvas_shape, jnp.float32)
 
-        cond_tiles, label_tiles, n_chunks, chunk, interior_mask = \
+        cond_tiles, label_tiles, n_chunks, chunks, interior_mask = \
             prepare_tile_context(cond_padded, geom, b, batch_size, class_label)
 
         def make_parity_step(parity: int):
@@ -314,9 +314,9 @@ class GaussianDiffusion:
 
                 noise_canvas = jax.random.normal(key_t, canvas_shape, jnp.float32)
                 tiles = extract_tiles(img, geom, parity)
-                tiles, n_orig = pad_tiles_to_multiple(tiles, chunk)
+                tiles, n_orig = pad_tiles_to_multiple(tiles, chunks[parity])
                 noise, _ = pad_tiles_to_multiple(
-                    extract_tiles(noise_canvas, geom, parity), chunk)
+                    extract_tiles(noise_canvas, geom, parity), chunks[parity])
 
                 def chunk_fn(xs, cs_, ns, *maybe_label):
                     lb = maybe_label[0] if maybe_label else None
@@ -359,7 +359,7 @@ class GaussianDiffusion:
         if host_loop:
             cache_key = ('gauss', geom, n_steps, self.timesteps, mode,
                          cond_scale, class_cond_scale, guidance_start_steps,
-                         class_guidance_start_steps, chunk, tuple(n_chunks),
+                         class_guidance_start_steps, tuple(chunks), tuple(n_chunks),
                          class_label is None, b, self.beta_schedule,
                          self.objective, capture_x0)
             state, frames = run_tiled_host_loop(

@@ -1,0 +1,193 @@
+"""Realistic-shape parity evidence (slow; minutes on the CPU mesh).
+
+The toy-scale goldens (tests/test_e2e_parity.py, dim 8 at 16x16) leave open
+whether layout, padding, or accumulation-order effects bite at real shapes.
+These tests close that gap:
+
+1. dim-64, 4-stage, 256x256-tile forward parity: synthetic reference-format
+   state dict -> converter -> SRUnet vs the independent torch re-derivation,
+   <1e-4 max error.
+2. 2-step tiled-sampler parity on a 512x512 canvas (768^2 padded, 9/4
+   alternating tiles): full torch re-derivation of the tiled loop
+   (/root/reference/model.py:3288-3413) — alternating grids, zero-margined
+   condition, margin re-noise — consuming the sampler's exact noise stream
+   (reconstructed from the same jax.random key derivation).
+
+Run explicitly: python -m pytest tests/test_scale_parity.py -m slow
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from srgd_tpu.checkpoint.torch_convert import convert_unet_state_dict
+from srgd_tpu.diffusion.continuous import ContinuousDiffusion
+from srgd_tpu.nn.unet import SRUnet
+from srgd_tpu.tiling import make_geometry
+from tests.torch_ref import make_state_dict, unet_forward
+
+
+@pytest.mark.slow
+def test_forward_parity_dim64_256px():
+    """Flagship-structure forward at a realistic tile shape."""
+    dim, dim_mults, full_attn = 64, (1, 2, 4, 8), (False, False, False, True)
+    sd = make_state_dict(dim=dim, dim_mults=dim_mults, full_attn=full_attn,
+                         num_classes=3, learned_sinusoidal_dim=32, seed=3)
+    params, unmatched = convert_unet_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, num_stages=4)
+    assert not unmatched, unmatched
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 256, 256, 3)).astype(np.float32)
+    cond = rng.uniform(size=(1, 256, 256, 3)).astype(np.float32) * 2 - 1
+    t = np.asarray([0.7], np.float32)
+    label = np.asarray([2])
+
+    net = SRUnet(dim=dim, dim_mults=dim_mults, full_attn=full_attn,
+                 learned_sinusoidal_cond=True, learned_sinusoidal_dim=32,
+                 num_classes=3)
+    ours = jax.jit(lambda p, *a: net.apply(p, *a[:2], cond=a[2],
+                                           class_label=a[3]))(
+        {'params': params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(cond),
+        jnp.asarray(label))
+    ours = np.asarray(ours)
+
+    with torch.no_grad():
+        theirs = unet_forward(
+            sd, torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(t), class_label=torch.from_numpy(label),
+            cond=torch.from_numpy(cond).permute(0, 3, 1, 2), dim=dim,
+            dim_mults=dim_mults, full_attn=full_attn)
+        theirs = theirs.permute(0, 2, 3, 1).numpy()
+
+    assert ours.shape == theirs.shape
+    assert np.abs(ours - theirs).max() < 1e-4
+
+
+def _log_snr_linear(t):
+    return -math.log(max(math.expm1(1e-4 + 10 * t * t), 1e-20))
+
+
+def _torch_tiled_sample(sd, cond01, rng_key, n_steps, tile, *, dim, dim_mults,
+                        full_attn, label):
+    """Torch re-derivation of the shipped tiled loop (model.py:3288-3413),
+    consuming the jax sampler's noise stream: init = normal(split(rng)[1]);
+    per step i, (key_t, key_m) = split(fold_in(rng, i)); canvas noise from
+    key_t, margin re-noise from key_m (the canvas-level noise layout is
+    srgd-tpu's documented chunk-invariant design)."""
+    b, h, w, _ = cond01.shape
+    geom = make_geometry(h, w, tile)
+    ph, pw = geom.padded_h, geom.padded_w
+
+    def jnoise(key):
+        return torch.from_numpy(np.asarray(
+            jax.random.normal(key, (b, ph, pw, 3), jnp.float32))
+        ).permute(0, 3, 1, 2)
+
+    cond = torch.from_numpy(cond01).permute(0, 3, 1, 2) * 2 - 1
+    l_pad, r_pad, t_pad, b_pad = geom.pad
+    cond = torch.nn.functional.pad(cond, (l_pad, r_pad, t_pad, b_pad),
+                                   mode='reflect')
+
+    rng, init_key = jax.random.split(rng_key)
+    img = jnoise(init_key)
+
+    # zero-margined condition (model.py:3340-3342)
+    it, il, ib, ir = geom.interior
+    zcond = torch.zeros_like(cond)
+    zcond[:, :, it:ib, il:ir] = cond[:, :, it:ib, il:ir]
+
+    steps = np.linspace(1.0, 0.0, n_steps + 1)
+    lab = torch.as_tensor(label)
+
+    def net(xs, ls, cs):
+        tt = torch.full((xs.shape[0],), ls, dtype=torch.float32)
+        return unet_forward(sd, xs, tt, class_label=lab.repeat(xs.shape[0]),
+                            cond=cs, dim=dim, dim_mults=dim_mults,
+                            full_attn=full_attn)
+
+    def coords(parity):
+        if parity == 0:
+            return [(y, x) for y in range(0, ph, tile)
+                    for x in range(0, pw, tile)]
+        return [(y, x) for y in range(it, ib - tile + 1, tile)
+                for x in range(il, ir - tile + 1, tile)]
+
+    for i in range(n_steps):
+        ls, ls_next = _log_snr_linear(steps[i]), _log_snr_linear(steps[i + 1])
+        c = -math.expm1(ls - ls_next)
+        alpha = math.sqrt(1 / (1 + math.exp(-ls)))
+        sigma = math.sqrt(1 / (1 + math.exp(ls)))
+        alpha_next = math.sqrt(1 / (1 + math.exp(-ls_next)))
+        sq_sigma_next = 1 / (1 + math.exp(ls_next))
+
+        key = jax.random.fold_in(rng, i)
+        key_t, key_m = jax.random.split(key)
+        noise_canvas = jnoise(key_t)
+
+        new_img = img.clone()
+        for (ys, xs) in coords(i % 2):
+            xt = img[:, :, ys:ys + tile, xs:xs + tile]
+            ct = zcond[:, :, ys:ys + tile, xs:xs + tile]
+            nt = noise_canvas[:, :, ys:ys + tile, xs:xs + tile]
+            eps = net(xt, ls, ct)
+            x0 = torch.clamp((xt - sigma * eps) / alpha, -1, 1)
+            mean = alpha_next * (xt * (1 - c) / alpha + c * x0)
+            if i == n_steps - 1:
+                out = mean
+            else:
+                out = mean + math.sqrt(sq_sigma_next * c) * nt
+            new_img[:, :, ys:ys + tile, xs:xs + tile] = out
+        img = new_img
+
+        if i % 2 == 1 and geom.has_margin:
+            fresh = jnoise(key_m) * math.sqrt(sq_sigma_next)
+            mask = torch.zeros(1, 1, ph, pw)
+            mask[:, :, it:ib, il:ir] = 1.0
+            img = img * mask + fresh * (1 - mask)
+
+    left, top, right, bottom = geom.crop
+    img = torch.clamp(img[:, :, top:bottom, left:right], -1, 1)
+    return ((img + 1) * 0.5).permute(0, 2, 3, 1).numpy()
+
+
+@pytest.mark.slow
+def test_tiled_sampler_parity_512px():
+    """2 steps (one aligned-grid, one shifted-grid incl. margin re-noise) on a
+    512^2 canvas -> 768^2 padded, 9 + 4 tiles."""
+    dim, dim_mults, full_attn = 8, (1, 2), (False, True)
+    n_steps, tile = 2, 256
+    sd = make_state_dict(dim=dim, dim_mults=dim_mults, full_attn=full_attn,
+                         num_classes=3, learned_sinusoidal_dim=8, seed=4)
+    params, _ = convert_unet_state_dict({k: v.numpy() for k, v in sd.items()},
+                                        num_stages=2)
+
+    rng = np.random.default_rng(4)
+    cond01 = rng.uniform(size=(1, 512, 512, 3)).astype(np.float32)
+    label = np.asarray([0])
+    key = jax.random.PRNGKey(11)
+
+    net = SRUnet(dim=dim, dim_mults=dim_mults, full_attn=full_attn,
+                 learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+                 num_classes=3)
+    d = ContinuousDiffusion(net=net, image_size=512, num_sample_steps=n_steps)
+    ours = np.asarray(d.tiled_sample(
+        {'params': params}, key, jnp.asarray(cond01), jnp.asarray(label),
+        batch_size=4, tile_size=tile))
+
+    with torch.no_grad():
+        theirs = _torch_tiled_sample(sd, cond01, key, n_steps, tile, dim=dim,
+                                     dim_mults=dim_mults, full_attn=full_attn,
+                                     label=label)
+
+    assert ours.shape == theirs.shape == (1, 512, 512, 3)
+    max_err = np.abs(ours - theirs).max()
+    mse = np.mean((ours - theirs) ** 2)
+    psnr = -10 * np.log10(max(mse, 1e-20))
+    assert max_err < 5e-4, (max_err, psnr)
+    assert psnr > 60, psnr

@@ -5,10 +5,21 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from srgd_tpu.diffusion.base import pick_chunk
 from srgd_tpu.tiling import (
     area_of, extract_tiles, grid_coords, make_geometry, pad_geometry,
     reflect_pad, scatter_tiles, space_to_tiles, tiles_to_space, zero_margin,
 )
+
+
+def test_pick_chunk():
+    assert pick_chunk(64, 16) == 16      # exact, sublane-aligned
+    assert pick_chunk(64, 9) == 8        # aligned divisor beats odd cap
+    assert pick_chunk(81, 9) == 9        # no aligned divisor -> cap + pad
+    assert pick_chunk(81, 8) == 8        # 81 has no even divisor -> pad
+    assert pick_chunk(4, 8) == 4         # fewer tiles than cap
+    assert pick_chunk(25, 8) == 8        # odd divisor 5 rejected -> pad
+    assert pick_chunk(1, 8) == 1
 
 
 def test_pad_geometry_small():
