@@ -68,14 +68,16 @@ def group_norm(x, scale, bias, num_groups: int = 8, eps: float = 1e-5):
     TPU layout note: group stats come from one-hot matmuls over the intact
     (..., C) minor dim instead of a reshape to (..., G, C/G) — the tiny-minor
     reshape forces relayouts of the whole activation on TPU (measured ~6 ms
-    of a 73 ms dim-128 forward; tools/perf_probe2.py). Stats matmuls run at
-    Precision.HIGHEST so float32 fidelity survives the TPU's default-bf16
-    matmul units."""
+    of a 73 ms dim-128 forward; tools/perf_probe2.py). For float32 inputs
+    the stats matmuls run at Precision.HIGHEST so f32 fidelity survives the
+    TPU's default-bf16 matmul units; bf16 inputs carry no extra mantissa to
+    protect and DEFAULT is measurably faster (tools/perf_probe5.py)."""
     b, h, w, c = x.shape
     cg = c // num_groups
     onehot = _group_onehot(c, num_groups)
     xf = _f32(x)
-    hi = jax.lax.Precision.HIGHEST
+    hi = (jax.lax.Precision.DEFAULT if x.dtype == jnp.bfloat16
+          else jax.lax.Precision.HIGHEST)
     s1 = jnp.einsum('bhwc,cg->bg', xf, onehot, precision=hi)
     s2 = jnp.einsum('bhwc,cg->bg', xf * xf, onehot, precision=hi)
     cnt = float(h * w * cg)
@@ -273,12 +275,10 @@ class LinearAttention(nn.Module):
                       name='to_qkv')(y)
 
         if self.use_pallas and n % 256 == 0:
-            from srgd_tpu.kernels.linear_attention import fused_linear_attention
-            flat = qkv.reshape(b, n, 3 * hidden)
-            out = fused_linear_attention(flat[..., :hidden],
-                                         flat[..., hidden:2 * hidden],
-                                         flat[..., 2 * hidden:],
-                                         dim_head=self.dim_head)
+            from srgd_tpu.kernels.linear_attention import (
+                fused_linear_attention_qkv)
+            out = fused_linear_attention_qkv(qkv.reshape(b, n, 3 * hidden),
+                                             dim_head=self.dim_head)
             out = out.reshape(b, h, w, hidden).astype(self.dtype)
             out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name='to_out')(out)
             return RMSNorm(self.dim, dtype=self.dtype, name='out_norm')(out)
@@ -292,7 +292,8 @@ class LinearAttention(nn.Module):
         # one block-diagonal matmul. The context/out contractions run full
         # C x C with cross-head terms zeroed by the same block-diagonal mask.
         blk = _head_blockdiag(hidden, self.dim_head)
-        hi = jax.lax.Precision.HIGHEST
+        hi = (jax.lax.Precision.DEFAULT if self.dtype == jnp.bfloat16
+              else jax.lax.Precision.HIGHEST)
 
         qkv = qkv.reshape(b, n, 3 * hidden)
         q = _f32(qkv[..., :hidden])
