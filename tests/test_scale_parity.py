@@ -66,7 +66,11 @@ def test_forward_parity_dim64_256px():
         theirs = theirs.permute(0, 2, 3, 1).numpy()
 
     assert ours.shape == theirs.shape
-    assert np.abs(ours - theirs).max() < 1e-4
+    # random 0.1-scale weights blow activations up to O(6e3) through four
+    # stages, so tolerance is relative; f64 cross-check agrees to f32-eps
+    # level (~2e-7 relative), i.e. ordering noise, not math divergence
+    rel = np.abs(ours - theirs).max() / np.abs(theirs).max()
+    assert rel < 3e-5, rel
 
 
 def _log_snr_linear(t):
@@ -159,13 +163,17 @@ def _torch_tiled_sample(sd, cond01, rng_key, n_steps, tile, *, dim, dim_mults,
 @pytest.mark.slow
 def test_tiled_sampler_parity_512px():
     """2 steps (one aligned-grid, one shifted-grid incl. margin re-noise) on a
-    512^2 canvas -> 768^2 padded, 9 + 4 tiles."""
-    dim, dim_mults, full_attn = 8, (1, 2), (False, True)
+    512^2 canvas -> 768^2 padded, 9 + 4 tiles.
+
+    4 stages so the full-attention resolutions stay small (a 2-stage net
+    puts mid attention at 128^2 = 16k tokens -> 4 GB attention matrices)."""
+    dim, dim_mults = 8, (1, 2, 4, 8)
+    full_attn = (False, False, False, True)
     n_steps, tile = 2, 256
     sd = make_state_dict(dim=dim, dim_mults=dim_mults, full_attn=full_attn,
                          num_classes=3, learned_sinusoidal_dim=8, seed=4)
     params, _ = convert_unet_state_dict({k: v.numpy() for k, v in sd.items()},
-                                        num_stages=2)
+                                        num_stages=4)
 
     rng = np.random.default_rng(4)
     cond01 = rng.uniform(size=(1, 512, 512, 3)).astype(np.float32)
