@@ -101,20 +101,58 @@ def list_images(root: str) -> list:
     return sorted(files)
 
 
-def _random_crop(img: np.ndarray, size: int, rng: np.random.Generator):
+PREPROCESS_MODES = ('randomcrop', 'centercrop', 'justresize',
+                    'resize_randomcrop')
+
+
+def _ensure_min_size(img: np.ndarray, size: int) -> np.ndarray:
     h, w = img.shape[:2]
-    if h < size or w < size:
-        # upscale-pad small images to the crop size
-        from PIL import Image
-        scale = max(size / h, size / w)
-        im = Image.fromarray(img).resize(
-            (max(size, int(w * scale + 0.5)), max(size, int(h * scale + 0.5))),
-            Image.BICUBIC)
-        img = np.asarray(im)
-        h, w = img.shape[:2]
+    if h >= size and w >= size:
+        return img
+    # upscale-pad small images to the crop size
+    from PIL import Image
+    scale = max(size / h, size / w)
+    im = Image.fromarray(img).resize(
+        (max(size, int(w * scale + 0.5)), max(size, int(h * scale + 0.5))),
+        Image.BICUBIC)
+    return np.asarray(im)
+
+
+def _random_crop(img: np.ndarray, size: int, rng: np.random.Generator):
+    img = _ensure_min_size(img, size)
+    h, w = img.shape[:2]
     y = int(rng.integers(0, h - size + 1))
     x = int(rng.integers(0, w - size + 1))
     return img[y:y + size, x:x + size]
+
+
+def _center_crop(img: np.ndarray, size: int):
+    img = _ensure_min_size(img, size)
+    h, w = img.shape[:2]
+    y, x = (h - size) // 2, (w - size) // 2
+    return img[y:y + size, x:x + size]
+
+
+def preprocess_crop(img: np.ndarray, size: int, mode: str,
+                    rng: np.random.Generator, scale_size: int = 0):
+    """The reference's crop-method surface (config.py:146-148):
+    randomcrop / centercrop / justresize / resize_randomcrop."""
+    if mode == 'randomcrop':
+        return _random_crop(img, size, rng)
+    if mode == 'centercrop':
+        return _center_crop(img, size)
+    if mode == 'justresize':
+        return _resize(img, (size, size))
+    if mode == 'resize_randomcrop':
+        target = scale_size or size
+        img = _ensure_min_size(img, target)
+        h, w = img.shape[:2]
+        r = target / min(h, w)
+        img = _resize(img, (max(size, int(w * r + 0.5)),
+                            max(size, int(h * r + 0.5))))
+        return _random_crop(img, size, rng)
+    raise ValueError(f'unsupported preprocess mode {mode!r}; '
+                     f'supported: {PREPROCESS_MODES}')
 
 
 def _augment(img: np.ndarray, rng, hflip: bool, rotate: bool):
@@ -366,7 +404,8 @@ class DegradationDataset:
                  num_classes: int = 3, hflip: bool = True, rotate: bool = True,
                  seed: int = 0, num_workers: int = 4,
                  quality_lower: int = 50, quality_upper: int = 95,
-                 degrade_cfg: Optional[DegradeConfig] = None):
+                 degrade_cfg: Optional[DegradeConfig] = None,
+                 preprocess: str = 'randomcrop', scale_size: int = 0):
         self.files = list_images(root)
         if not self.files:
             raise FileNotFoundError(f'no images under {root}')
@@ -378,12 +417,21 @@ class DegradationDataset:
         self.num_workers = max(1, num_workers)
         self.cfg = degrade_cfg or DegradeConfig(quality_lower=quality_lower,
                                                 quality_upper=quality_upper)
+        if preprocess not in PREPROCESS_MODES:
+            raise ValueError(f'unsupported preprocess {preprocess!r}; '
+                             f'supported: {PREPROCESS_MODES}')
+        # reference semantics: realesrgan mode ignores train_preprocess
+        # (config.py:149-150)
+        self.preprocess = ('randomcrop' if self.cfg.trans_mode == 'realesrgan'
+                           else preprocess)
+        self.scale_size = scale_size
 
     def _sample(self, rng: np.random.Generator):
         from PIL import Image
         path = self.files[int(rng.integers(0, len(self.files)))]
         img = np.asarray(Image.open(path).convert('RGB'))
-        hr = _augment(_random_crop(img, self.crop_size, rng), rng,
+        hr = _augment(preprocess_crop(img, self.crop_size, self.preprocess,
+                                      rng, self.scale_size), rng,
                       self.hflip, self.rotate)
         label = int(rng.integers(0, self.num_classes))
         cond = degrade(hr, label, rng, cfg=self.cfg)

@@ -25,21 +25,33 @@ logger = logging.getLogger('srgd_tpu.train')
 
 
 def validate(conf, wrapper, params, val_dir: str, rng, num_images: int = 4,
-             lpips_params=None):
+             lpips_params=None, sample_dir: str = None, step: int = 0):
     """Sample with the current (EMA) params on degraded val crops and score
     PSNR/SSIM (+ LPIPS when weights are provided) — the metric surface the
-    reference's config names (test_target, config.py:181) but never shipped."""
+    reference's config names (test_target, config.py:181) but never shipped.
+
+    Honors valid_preprocess / valid_trans_mode (config.py:147, 152) and the
+    save_validation_sample / save_validation_hr_sample switches
+    (config.py:176-177) when sample_dir is given."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from srgd_tpu.train.data import DegradationDataset
+    from srgd_tpu.train.data import DegradationDataset, DegradeConfig
     from srgd_tpu.utils.metrics import psnr, ssim
 
     conditional = 'conditional' in conf.model
+    val_cfg = DegradeConfig.from_conf(conf)
+    val_cfg.trans_mode = conf.valid_trans_mode
+    val_cfg.__post_init__()  # re-validate the overridden mode
     ds = DegradationDataset(val_dir, crop_size=conf.hr_image_size,
                             batch_size=num_images, num_workers=1,
                             seed=conf.seed + 1,
-                            num_classes=conf.num_classes)
+                            num_classes=conf.num_classes,
+                            degrade_cfg=val_cfg,
+                            preprocess=conf.valid_preprocess,
+                            scale_size=conf.scale_size,
+                            hflip=False, rotate=False)
     hr, cond, label = next(iter(ds))
     hr, cond = jnp.asarray(hr), jnp.asarray(cond)
     out = wrapper.sample(params, rng, cond,
@@ -49,6 +61,22 @@ def validate(conf, wrapper, params, val_dir: str, rng, num_images: int = 4,
     if lpips_params is not None:
         from srgd_tpu.utils.lpips import lpips
         metrics['lpips'] = float(jnp.mean(lpips(out, hr, lpips_params)))
+
+    if sample_dir and (conf.save_validation_sample
+                       or conf.save_validation_hr_sample):
+        from PIL import Image
+        os.makedirs(sample_dir, exist_ok=True)
+
+        def save(arr, name):
+            png = (np.clip(np.asarray(arr), 0, 1) * 255).astype(np.uint8)
+            for i, im in enumerate(png):
+                Image.fromarray(im).save(
+                    os.path.join(sample_dir, f'{name}_{step:06d}_{i}.png'))
+
+        if conf.save_validation_sample:
+            save(out, 'sample')
+        if conf.save_validation_hr_sample:
+            save(hr, 'hr')
     return metrics
 
 
@@ -94,7 +122,8 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
         data_dir, crop_size=conf.hr_image_size, batch_size=conf.batch_size,
         num_classes=conf.num_classes, hflip=conf.hflip, rotate=conf.rotate,
         seed=conf.seed, num_workers=conf.num_workers,
-        degrade_cfg=DegradeConfig.from_conf(conf))
+        degrade_cfg=DegradeConfig.from_conf(conf),
+        preprocess=conf.train_preprocess, scale_size=conf.scale_size)
 
     rng = jax.random.PRNGKey(conf.seed)
     kwargs = {'class_label': jnp.zeros((1,), jnp.int32)} if conditional else {}
@@ -185,7 +214,10 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
                     with timer.phase('val'):
                         m = validate(conf, wrapper, state.ema_params, val_dir,
                                      jax.random.fold_in(rng, step),
-                                     lpips_params=lpips_params)
+                                     lpips_params=lpips_params,
+                                     sample_dir=os.path.join(out_dir,
+                                                             'val_samples'),
+                                     step=step)
                     logger.info('val @%d: %s', step,
                                 '  '.join(f'{k} {v:.4f}' for k, v in m.items()))
                     score = {'best_psnr': m['psnr'], 'best_ssim': m['ssim'],

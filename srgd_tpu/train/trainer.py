@@ -20,9 +20,15 @@ from srgd_tpu.config import Config
 from srgd_tpu.train.ema import ema_update
 
 
+SCHEDULERS = ('cosine', 'CosineAnnealingLR', 'WarmupLinear',
+              'ReduceLROnPlateau', 'constant')
+
+
 def make_lr_schedule(conf: Config, steps_per_epoch: int):
-    """cosine with linear warmup; parity with the timm CosineLRScheduler
-    settings the config implies (scheduler: cosine, warmup_epochs, min_lr)."""
+    """The reference's scheduler surface (config.py:152): timm-style cosine
+    with linear warmup, torch CosineAnnealingLR (no warmup), WarmupLinear,
+    ReduceLROnPlateau (handled in make_optimizer as an optax transform —
+    here it gets the constant base lr), plus 'constant'."""
     warmup = conf.warmup_epochs * steps_per_epoch
     total = conf.epochs * steps_per_epoch
     if conf.scheduler == 'cosine':
@@ -30,18 +36,39 @@ def make_lr_schedule(conf: Config, steps_per_epoch: int):
             init_value=conf.warmup_lr_init, peak_value=conf.lr,
             warmup_steps=max(warmup, 1), decay_steps=max(total, 2),
             end_value=conf.min_lr)
-    return optax.constant_schedule(conf.lr)
+    if conf.scheduler == 'CosineAnnealingLR':
+        return optax.cosine_decay_schedule(
+            init_value=conf.lr, decay_steps=max(total, 2),
+            alpha=conf.min_lr / conf.lr)
+    if conf.scheduler == 'WarmupLinear':
+        return optax.join_schedules([
+            optax.linear_schedule(conf.warmup_lr_init, conf.lr,
+                                  max(warmup, 1)),
+            optax.linear_schedule(conf.lr, conf.min_lr,
+                                  max(total - warmup, 1)),
+        ], [max(warmup, 1)])
+    if conf.scheduler in ('ReduceLROnPlateau', 'constant'):
+        return optax.constant_schedule(conf.lr)
+    raise ValueError(f'unknown scheduler {conf.scheduler!r}; '
+                     f'supported: {SCHEDULERS}')
 
 
 def make_optimizer(conf: Config, steps_per_epoch: int = 1000):
+    """Returns a GradientTransformationExtraArgs; the train step passes
+    value=loss so ReduceLROnPlateau (optax.contrib) can key off it."""
     sched = make_lr_schedule(conf, steps_per_epoch)
     if conf.optimizer == 'adamw':
-        return optax.adamw(sched, weight_decay=conf.weight_decay)
-    if conf.optimizer == 'adam':
-        return optax.adam(sched)
-    if conf.optimizer == 'sgd':
-        return optax.sgd(sched, momentum=conf.momentum, nesterov=conf.nesterov)
-    raise ValueError(f'unknown optimizer {conf.optimizer}')
+        tx = optax.adamw(sched, weight_decay=conf.weight_decay)
+    elif conf.optimizer == 'adam':
+        tx = optax.adam(sched)
+    elif conf.optimizer == 'sgd':
+        tx = optax.sgd(sched, momentum=conf.momentum, nesterov=conf.nesterov)
+    else:
+        raise ValueError(f'unknown optimizer {conf.optimizer}')
+    if conf.scheduler == 'ReduceLROnPlateau':
+        tx = optax.chain(tx, optax.contrib.reduce_on_plateau(
+            factor=0.1, patience=conf.patience, atol=conf.plateau_eps))
+    return optax.with_extra_args_support(tx)
 
 
 class TrainState(struct.PyTreeNode):
@@ -68,7 +95,8 @@ def make_train_step(wrapper, optimizer, ema_decay: float, conditional: bool):
         rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, rng, hr, lr_cond, label if conditional else None)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params, value=loss)
         params = optax.apply_updates(state.params, updates)
         ema = ema_update(state.ema_params, params, ema_decay)
         return state.replace(params=params, opt_state=opt_state,

@@ -122,6 +122,83 @@ def test_lr_schedule():
     assert float(sched(100)) == pytest.approx(1e-7, rel=1e-2)
 
 
+def test_lr_schedule_variants():
+    """The reference's full scheduler surface (config.py:152) is honored."""
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.trainer import make_lr_schedule
+
+    base = dict(lr=1e-4, min_lr=1e-6, warmup_epochs=2, epochs=10,
+                warmup_lr_init=1e-6)
+    # CosineAnnealingLR: starts at lr (no warmup), decays to min_lr
+    s = make_lr_schedule(Config(scheduler='CosineAnnealingLR', **base), 10)
+    assert float(s(0)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(s(100)) == pytest.approx(1e-6, rel=1e-2)
+    # WarmupLinear: warmup then linear decay
+    s = make_lr_schedule(Config(scheduler='WarmupLinear', **base), 10)
+    assert float(s(0)) == pytest.approx(1e-6, rel=1e-3)
+    assert float(s(20)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(s(60)) == pytest.approx(5.05e-5, rel=1e-2)  # halfway down
+    assert float(s(100)) == pytest.approx(1e-6, rel=1e-2)
+    # plateau schedule is constant (the reduction is an optax transform)
+    s = make_lr_schedule(Config(scheduler='ReduceLROnPlateau', **base), 10)
+    assert float(s(50)) == pytest.approx(1e-4, rel=1e-3)
+    with pytest.raises(ValueError):
+        make_lr_schedule(Config(scheduler='mystery', **base), 10)
+
+
+def test_reduce_on_plateau_optimizer():
+    """ReduceLROnPlateau runs as an optax transform keyed on value=loss."""
+    import optax
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.trainer import make_optimizer
+    conf = Config(scheduler='ReduceLROnPlateau', patience=1, lr=1e-2)
+    opt = make_optimizer(conf, steps_per_epoch=1)
+    params = {'w': jnp.ones((3,))}
+    state = opt.init(params)
+    g = {'w': jnp.ones((3,))}
+    # constant loss -> plateau triggers after patience, scale drops
+    for i in range(6):
+        updates, state = opt.update(g, state, params, value=jnp.float32(1.0))
+        params = optax.apply_updates(params, updates)
+    scale = float(state[-1].scale)
+    assert scale < 1.0
+
+
+def test_preprocess_modes(image_dir):
+    from srgd_tpu.train.data import preprocess_crop
+    rng = np.random.default_rng(0)
+    img = np.asarray(Image.open(image_dir / 'im0.png'))
+    for mode in ('randomcrop', 'centercrop', 'justresize', 'resize_randomcrop'):
+        out = preprocess_crop(img, 32, mode, rng, scale_size=48)
+        assert out.shape == (32, 32, 3), mode
+    with pytest.raises(ValueError):
+        preprocess_crop(img, 32, 'mystery', rng)
+    # centercrop is deterministic
+    a = preprocess_crop(img, 32, 'centercrop', np.random.default_rng(1))
+    b = preprocess_crop(img, 32, 'centercrop', np.random.default_rng(2))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_validate_saves_samples(image_dir, tmp_path):
+    from srgd_tpu.config import Config
+    from srgd_tpu.factory import get_model
+    from srgd_tpu.train.loop import validate
+    conf = Config(model='conditional_continuous', unet_dim=8,
+                  ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                  hr_image_size=16, num_sample_steps=2, val_num_sample_steps=2,
+                  save_validation_sample=True, save_validation_hr_sample=True,
+                  valid_preprocess='centercrop', valid_trans_mode='simple')
+    wrapper, net, params = get_model(conf)
+    sdir = str(tmp_path / 'samples')
+    m = validate(conf, wrapper, params, str(image_dir), jax.random.PRNGKey(0),
+                 num_images=2, sample_dir=sdir, step=7)
+    assert np.isfinite(m['psnr'])
+    files = sorted(os.listdir(sdir))
+    assert any(f.startswith('sample_000007') for f in files)
+    assert any(f.startswith('hr_000007') for f in files)
+
+
 def test_train_loop_end_to_end(image_dir, tmp_path):
     """Full trainer: data -> steps -> checkpoint -> resume."""
     from srgd_tpu.config import Config
