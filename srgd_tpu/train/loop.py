@@ -142,8 +142,11 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
         dp = _math.gcd(conf.batch_size, n_dev)
         mesh = make_mesh((dp, 1), devices=jax.devices()[:dp])
     params = shard_params(params, mesh)
-    optimizer = make_optimizer(conf, steps_per_epoch=max(total_steps // max(conf.epochs, 1), 1))
+    steps_per_epoch = max(total_steps // max(conf.epochs, 1), 1)
+    optimizer = make_optimizer(conf, steps_per_epoch=steps_per_epoch)
     state = create_train_state(params, optimizer)
+    if conf.save_every_epoch:  # checkpoint policy knob (config.py:179)
+        save_every = steps_per_epoch
 
     ckpt_dir = os.path.join(out_dir, 'ckpt')
     best_score = -float(np.inf)

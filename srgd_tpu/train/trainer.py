@@ -53,10 +53,23 @@ def make_lr_schedule(conf: Config, steps_per_epoch: int):
                      f'supported: {SCHEDULERS}')
 
 
+def _maybe_epoch_quantize(sched, conf: Config, steps_per_epoch: int):
+    """cosine_interval_type: 'epoch' updates the LR once per epoch
+    (config.py:153); 'step' (default) updates every step."""
+    if conf.cosine_interval_type == 'step':
+        return sched
+    if conf.cosine_interval_type == 'epoch':
+        spe = max(steps_per_epoch, 1)
+        return lambda count: sched((count // spe) * spe)
+    raise ValueError(
+        f'unknown cosine_interval_type {conf.cosine_interval_type!r}')
+
+
 def make_optimizer(conf: Config, steps_per_epoch: int = 1000):
     """Returns a GradientTransformationExtraArgs; the train step passes
     value=loss so ReduceLROnPlateau (optax.contrib) can key off it."""
-    sched = make_lr_schedule(conf, steps_per_epoch)
+    sched = _maybe_epoch_quantize(make_lr_schedule(conf, steps_per_epoch),
+                                  conf, steps_per_epoch)
     if conf.optimizer == 'adamw':
         tx = optax.adamw(sched, weight_decay=conf.weight_decay)
     elif conf.optimizer == 'adam':

@@ -146,6 +146,20 @@ def test_lr_schedule_variants():
         make_lr_schedule(Config(scheduler='mystery', **base), 10)
 
 
+def test_epoch_interval_schedule():
+    """cosine_interval_type: 'epoch' holds the LR constant within an epoch."""
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.trainer import _maybe_epoch_quantize, make_lr_schedule
+    conf = Config(lr=1e-4, min_lr=1e-7, warmup_epochs=0, epochs=10,
+                  cosine_interval_type='epoch')
+    sched = _maybe_epoch_quantize(make_lr_schedule(conf, 10), conf, 10)
+    assert float(sched(10)) == float(sched(19))
+    assert float(sched(19)) != float(sched(20))
+    conf2 = Config(cosine_interval_type='weird')
+    with pytest.raises(ValueError):
+        _maybe_epoch_quantize(make_lr_schedule(conf2, 10), conf2, 10)
+
+
 def test_reduce_on_plateau_optimizer():
     """ReduceLROnPlateau runs as an optax transform keyed on value=loss."""
     import optax
