@@ -172,6 +172,7 @@ class ContinuousDiffusion:
                                         init_noise)
         else:
             img = init_noise
+        init_img = img  # frame 0 of both capture stacks (model.py:3205-3211)
 
         def step(img, i):
             key = jax.random.fold_in(rng, i)
@@ -194,9 +195,9 @@ class ContinuousDiffusion:
         out = unnormalize_to_zero_to_one(jnp.clip(img, -1.0, 1.0))
         rets = (out,)
         if capture_trajectory:
-            rets = rets + (traj,)
+            rets = rets + (jnp.concatenate([init_img[None], traj]),)
         if capture_x0:
-            rets = rets + (x0_traj,)
+            rets = rets + (jnp.concatenate([init_img[None], x0_traj]),)
         return rets if len(rets) > 1 else out
 
     @staticmethod

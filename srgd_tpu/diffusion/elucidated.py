@@ -111,13 +111,18 @@ class ElucidatedDiffusion:
                                         class_label, mode, scale, clamp)
             d2 = (x_next - den2) / sigma_next
             x_next = x_hat + 0.5 * (sigma_next - sigma_hat) * (d + d2)
-        return x_next
+            d = d2  # reference's x0 capture stores d' on Heun steps (2294-2296)
+        return x_next, d
 
     def sample_org(self, params, rng, condition_x, class_label=None, *,
                    cond_scale=1.0, guidance_start_steps=0, class_cond_scale=1.0,
                    class_guidance_start_steps=0, generation_start_steps=0,
                    num_sample_steps=None, clamp=True, zero_init=False,
-                   capture_trajectory=False):
+                   capture_trajectory=False, capture_x0=False):
+        """capture_trajectory / capture_x0: the reference's with_images /
+        with_x0_images (model.py:2245-2250, 2290-2296): frame stacks in
+        [-1,1] with frame 0 = the init canvas; x0 frames hold
+        denoised_over_sigma (d; d' on Heun steps) — a reference quirk."""
         n = num_sample_steps or self.num_sample_steps
         mode = resolve_guidance_mode(cond_scale, class_cond_scale)
         cond = normalize_to_neg_one_to_one(condition_x)
@@ -131,6 +136,7 @@ class ElucidatedDiffusion:
             img = jnp.zeros_like(cond)
         else:
             img = sig[0] * jax.random.normal(init_key, cond.shape, jnp.float32)
+        init_img = img
 
         def scale_at(i):
             cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
@@ -139,28 +145,36 @@ class ElucidatedDiffusion:
 
         def step(img, i):
             key = jax.random.fold_in(rng, i)
-            img = self._heun_step(params, img, key, sig[i], sig[i + 1], gam[i],
-                                  cond, class_label, mode, scale_at(i), clamp,
-                                  second_order=True)
-            return img, (img if capture_trajectory else None)
+            img, dd = self._heun_step(params, img, key, sig[i], sig[i + 1],
+                                      gam[i], cond, class_label, mode,
+                                      scale_at(i), clamp, second_order=True)
+            return img, (img if capture_trajectory else None,
+                         dd if capture_x0 else None)
 
         # steps 0..n-2 are Heun (sigma_next > 0); final step n-1 is Euler-only
         start = generation_start_steps
-        traj = None
+        traj = x0_traj = None
         if start < n - 1:
-            img, traj = jax.lax.scan(step, img, jnp.arange(start, n - 1))
+            img, (traj, x0_traj) = jax.lax.scan(step, img,
+                                                jnp.arange(start, n - 1))
         i_last = n - 1
         key = jax.random.fold_in(rng, i_last)
-        img = self._heun_step(params, img, key, sig[i_last], sig[i_last + 1],
-                              gam[i_last], cond, class_label, mode,
-                              scale_at(i_last), clamp, second_order=False)
+        img, dd_last = self._heun_step(params, img, key, sig[i_last],
+                                       sig[i_last + 1], gam[i_last], cond,
+                                       class_label, mode, scale_at(i_last),
+                                       clamp, second_order=False)
 
         out = unnormalize_to_zero_to_one(jnp.clip(img, -1.0, 1.0))
+        rets = (out,)
         if capture_trajectory:
-            tail = out[None] if traj is None else jnp.concatenate(
-                [traj, img[None]], axis=0)
-            return out, tail
-        return out
+            frames = [init_img[None]] + ([traj] if traj is not None else []) \
+                + [img[None]]
+            rets += (jnp.concatenate(frames),)
+        if capture_x0:
+            frames = [init_img[None]] + ([x0_traj] if x0_traj is not None
+                                         else []) + [dd_last[None]]
+            rets += (jnp.concatenate(frames),)
+        return rets if len(rets) > 1 else out
 
     # ------------------------------------------------------------------
     # DPM-Solver++(2M). Parity: model.py:2478-2557.
@@ -170,7 +184,8 @@ class ElucidatedDiffusion:
                            class_cond_scale=1.0, class_guidance_start_steps=0,
                            generation_start_steps=0, num_sample_steps=None,
                            clamp=True, zero_init=False,
-                           capture_trajectory=False):
+                           capture_trajectory=False, capture_x0=False):
+        """capture_x0 frames hold denoised_d (model.py:2546-2547)."""
         n = num_sample_steps or self.num_sample_steps
         mode = resolve_guidance_mode(cond_scale, class_cond_scale)
         cond = normalize_to_neg_one_to_one(condition_x)
@@ -184,6 +199,7 @@ class ElucidatedDiffusion:
             img = jnp.zeros_like(cond)
         else:
             img = sig[0] * jax.random.normal(init_key, cond.shape, jnp.float32)
+        init_img = img
 
         t_fn = lambda s: -jnp.log(s)
 
@@ -206,12 +222,19 @@ class ElucidatedDiffusion:
             denoised_d = jnp.where(use_plain, denoised, denoised_d2)
             # sigma_fn(t_next)/sigma_fn(t) = sig[i+1]/sig[i]
             img = (sig[i + 1] / sig[i]) * img - jnp.expm1(-h) * denoised_d
-            return (img, denoised), (img if capture_trajectory else None)
+            return (img, denoised), (img if capture_trajectory else None,
+                                     denoised_d if capture_x0 else None)
 
         idxs = jnp.arange(generation_start_steps, n)
-        (img, _), traj = jax.lax.scan(step, (img, jnp.zeros_like(img)), idxs)
+        (img, _), (traj, x0_traj) = jax.lax.scan(
+            step, (img, jnp.zeros_like(img)), idxs)
         out = unnormalize_to_zero_to_one(jnp.clip(img, -1.0, 1.0))
-        return (out, traj) if capture_trajectory else out
+        rets = (out,)
+        if capture_trajectory:
+            rets += (jnp.concatenate([init_img[None], traj]),)
+        if capture_x0:
+            rets += (jnp.concatenate([init_img[None], x0_traj]),)
+        return rets if len(rets) > 1 else out
 
     # ------------------------------------------------------------------
     def sample(self, params, rng, condition_x, class_label=None, **kw):

@@ -161,6 +161,7 @@ class GaussianDiffusion:
             img = self.q_sample(cond, target_t, noise)
         else:
             img = jax.random.normal(init_key, cond.shape, jnp.float32)
+        init_img = img  # frame 0 of both capture stacks (model.py:985-987)
 
         def step(img, i):
             t = T - 1 - i
@@ -180,9 +181,9 @@ class GaussianDiffusion:
         # the reference ancestral loop (model.py:1557-1563)
         rets = (out,)
         if capture_trajectory:
-            rets = rets + (traj,)
+            rets = rets + (jnp.concatenate([init_img[None], traj]),)
         if capture_x0:
-            rets = rets + (x0_traj,)
+            rets = rets + (jnp.concatenate([init_img[None], x0_traj]),)
         return rets if len(rets) > 1 else out
 
     # ------------------------------------------------------------------
@@ -220,6 +221,7 @@ class GaussianDiffusion:
             img = self.q_sample(cond, target_t, noise)
         else:
             img = jax.random.normal(init_key, cond.shape, jnp.float32)
+        init_img = img  # frame 0 of both capture stacks (model.py:1032-1034)
 
         def step(img, inp):
             i, (time, time_next) = inp
@@ -240,9 +242,9 @@ class GaussianDiffusion:
         out = unnormalize_to_zero_to_one(img)
         rets = (out,)
         if capture_trajectory:
-            rets = rets + (traj,)
+            rets = rets + (jnp.concatenate([init_img[None], traj]),)
         if capture_x0:
-            rets = rets + (x0_traj,)
+            rets = rets + (jnp.concatenate([init_img[None], x0_traj]),)
         return rets if len(rets) > 1 else out
 
     # ------------------------------------------------------------------

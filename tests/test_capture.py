@@ -78,6 +78,29 @@ def test_tiled_capture_each_flag_alone(family):
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_x), atol=1e-6)
 
 
+@pytest.mark.parametrize('family', ['continuous', 'gaussian', 'elucidated'])
+def test_nontiled_capture_frames(family):
+    """Non-tiled samplers: init frame + one per step, both stacks
+    (model.py:985-987, 1032-1034, 2245-2250, 3205-3211)."""
+    d = make(family)
+    rng = jax.random.PRNGKey(5)
+    cond = jax.random.uniform(jax.random.PRNGKey(6), (1, 16, 16, 3))
+    out, traj, x0 = d.sample({}, rng, cond, capture_trajectory=True,
+                             capture_x0=True)
+    assert traj.shape == (N_STEPS + 1,) + (1, 16, 16, 3)
+    assert x0.shape == traj.shape
+    np.testing.assert_allclose(np.asarray(traj[0]), np.asarray(x0[0]), atol=0)
+    assert not np.allclose(np.asarray(traj[1]), np.asarray(x0[1]))
+    out_plain = d.sample({}, rng, cond)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_plain),
+                               atol=1e-6)
+    if family == 'elucidated':  # the Heun path captures too (model.py:2245)
+        o3, t3, x3 = d.sample_org({}, rng, cond, capture_trajectory=True,
+                                  capture_x0=True)
+        assert t3.shape == (N_STEPS + 1, 1, 16, 16, 3)
+        assert x3.shape == t3.shape
+
+
 def test_capture_respects_generation_start_steps():
     d = make('continuous')
     rng = jax.random.PRNGKey(3)

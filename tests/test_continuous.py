@@ -197,8 +197,14 @@ def test_trajectory_capture():
     d = make_diff(num_sample_steps=3)
     rng = jax.random.PRNGKey(19)
     cond01 = jax.random.uniform(jax.random.PRNGKey(20), (1, 16, 16, 3))
+    # frame 0 = init canvas + one frame per step (model.py:3205-3211)
     out, traj = d.sample({}, rng, cond01, capture_trajectory=True)
-    assert traj.shape == (3, 1, 16, 16, 3)
+    assert traj.shape == (4, 1, 16, 16, 3)
+    out2, traj2, x0t = d.sample({}, rng, cond01, capture_trajectory=True,
+                                capture_x0=True)
+    assert x0t.shape == traj.shape
+    np.testing.assert_allclose(np.asarray(traj2[0]), np.asarray(x0t[0]), atol=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
 
 
 def test_q_sample_identity():

@@ -53,9 +53,9 @@ def test_heun_scan_equals_eager():
     img = sig[0] * jax.random.normal(init_key, cond.shape, jnp.float32)
     for i in range(n):
         key = jax.random.fold_in(loop_rng, i)
-        img = d._heun_step({}, img, key, sig[i], sig[i + 1], gam[i], cond,
-                           None, GUIDANCE_NONE, 1.0, True,
-                           second_order=(i < n - 1))
+        img, _ = d._heun_step({}, img, key, sig[i], sig[i + 1], gam[i], cond,
+                              None, GUIDANCE_NONE, 1.0, True,
+                              second_order=(i < n - 1))
     want = (jnp.clip(img, -1, 1) + 1) * 0.5
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
