@@ -102,6 +102,36 @@ def test_sharded_tiled_inference_matches_single_device():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_sharded_tiled_inference_real_net():
+    """Same check with a real SRUnet: exercises GSPMD through convs,
+    attention, and the tile reshapes (not just the FakeNet arithmetic)."""
+    from srgd_tpu.diffusion.continuous import ContinuousDiffusion
+    from srgd_tpu.nn.unet import SRUnet
+
+    net = SRUnet(dim=8, dim_mults=(1, 2), full_attn=(False, True),
+                 learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                 num_classes=3)
+    rng = jax.random.PRNGKey(5)
+    params = net.init(rng, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)),
+                      cond=jnp.zeros((1, 32, 32, 3)),
+                      class_label=jnp.zeros((1,), jnp.int32))
+    d = ContinuousDiffusion(net=net, image_size=32, num_sample_steps=2)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(6), (1, 120, 120, 3))
+    label = jnp.asarray([1])
+
+    fn = lambda p, c: d.tiled_sample(p, rng, c, label, tile_size=32,
+                                     batch_size=8)
+    want = np.asarray(jax.jit(fn)(params, cond01))
+
+    mesh = make_mesh((8, 1))
+    p_rep = jax.device_put(params, replicated(mesh))
+    cond_sharded = jax.device_put(cond01, canvas_sharding(mesh))
+    with mesh:
+        got = np.asarray(jax.jit(fn)(p_rep, cond_sharded))
+    # GSPMD reduction-order drift only; held to float-level tolerance
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, '/root/repo')
