@@ -23,7 +23,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from srgd_tpu.diffusion.base import (
     GUIDANCE_COND, chunked_map, crop_frames,

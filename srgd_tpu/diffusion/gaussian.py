@@ -27,7 +27,7 @@ import numpy as np
 
 from srgd_tpu.diffusion import schedules
 from srgd_tpu.diffusion.base import (
-    GUIDANCE_COND, GUIDANCE_NONE, chunked_map, crop_frames,
+    GUIDANCE_COND, chunked_map, crop_frames,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
     prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
     unnormalize_to_zero_to_one,

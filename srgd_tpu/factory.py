@@ -19,7 +19,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from srgd_tpu.config import Config
 from srgd_tpu.diffusion.continuous import ContinuousDiffusion

@@ -21,13 +21,11 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from srgd_tpu.nn.layers import (
     Attention,
-    Block,
     ClassMLP,
     Downsample,
     LinearAttention,

@@ -8,7 +8,6 @@ dropout 0.1 handled inside the family losses, checkpointing of the EMA shadow.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any
 
 import jax

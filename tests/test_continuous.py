@@ -8,8 +8,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from srgd_tpu.diffusion.base import (
-    GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, resolve_guidance_mode)
+from srgd_tpu.diffusion.base import GUIDANCE_NONE, resolve_guidance_mode
 from srgd_tpu.diffusion.continuous import ContinuousDiffusion
 from srgd_tpu.diffusion.schedules import make_log_snr_table
 from srgd_tpu.nn.unet import SRUnet

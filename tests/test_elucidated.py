@@ -2,14 +2,12 @@
 tiled sampler, loss."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
 
 from srgd_tpu.diffusion.base import GUIDANCE_NONE
 from srgd_tpu.diffusion.elucidated import ElucidatedDiffusion
-from srgd_tpu.diffusion.schedules import EDMParams
 from tests.test_continuous import FakeNet
 
 
