@@ -1,0 +1,72 @@
+"""Quantify the bf16-vs-fp32 sampling divergence on real shapes.
+
+The bench runs the sampler in bfloat16; the reference runs fp32. This probe
+runs the SAME tiled sampling (identical keys, random flagship-shape weights)
+in fp32 and bf16 and reports PSNR between the outputs — evidence for the
+0.1 dB parity budget under bf16 compute.
+
+Env knobs: QP_LR (128), QP_STEPS (50), QP_DIM (128).
+Run on the TPU chip: python tools/quality_probe.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    lr = int(os.environ.get('QP_LR', 128))
+    steps = int(os.environ.get('QP_STEPS', 50))
+    dim = int(os.environ.get('QP_DIM', 128))
+
+    from srgd_tpu.factory import build_wrapper
+    from srgd_tpu.nn.unet import build_unet_from_config
+    import __graft_entry__ as ge
+
+    hr = lr * 4
+    rng = jax.random.PRNGKey(71)
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (1, hr, hr, 3), jnp.float32)
+    label = jnp.zeros((1,), jnp.int32)
+
+    conf = ge._flagship_conf(unet_dim=dim)
+    outs = {}
+    for dtype in ('float32', 'bfloat16'):
+        conf.compute_dtype = dtype
+        net = build_unet_from_config(conf)
+        wrapper = build_wrapper(conf, net)
+        params = jax.jit(lambda k: net.init(
+            k, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,)),
+            cond=jnp.zeros((1, 256, 256, 3)),
+            class_label=jnp.zeros((1,), jnp.int32)))(jax.random.PRNGKey(0))
+        if dtype == 'bfloat16':
+            params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        t0 = time.time()
+        out = wrapper.tiled_sample(params, rng, cond, label, batch_size=8,
+                                   tile_size=256, num_sample_steps=steps,
+                                   host_loop=True)
+        out = np.asarray(out, np.float32)
+        print(f'{dtype}: sampled {hr}px, {steps} steps in '
+              f'{time.time() - t0:.1f}s', flush=True)
+        outs[dtype] = out
+
+    a, b = outs['float32'], outs['bfloat16']
+    mse = float(np.mean((a - b) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-20))
+    # PSNR of each vs the quantized-to-uint8 other (what users see)
+    qa = np.round(a * 255) / 255
+    qb = np.round(b * 255) / 255
+    mse_q = float(np.mean((qa - qb) ** 2))
+    print(f'bf16 vs fp32: PSNR {psnr:.2f} dB  (max|d| {np.abs(a - b).max():.4f}, '
+          f'uint8-quantized PSNR {-10 * np.log10(max(mse_q, 1e-20)):.2f} dB)',
+          flush=True)
+
+
+if __name__ == '__main__':
+    main()
