@@ -272,6 +272,111 @@ def test_tiled_ddim_parity_512px():
 
 
 @pytest.mark.slow
+def test_tiled_heun_parity_512px():
+    """EDM tiled Heun loop vs a torch re-derivation (model.py:2308-2475
+    semantics; default S_churn=0), 2 steps on a 512^2 canvas."""
+    from srgd_tpu.diffusion.elucidated import ElucidatedDiffusion
+
+    dim, dim_mults = 8, (1, 2, 4, 8)
+    full_attn = (False, False, False, True)
+    n_steps, tile = 2, 256
+    sd = make_state_dict(dim=dim, dim_mults=dim_mults, full_attn=full_attn,
+                         num_classes=3, learned_sinusoidal_dim=8, seed=6)
+    params, _ = convert_unet_state_dict({k: v.numpy() for k, v in sd.items()},
+                                        num_stages=4)
+
+    rng = np.random.default_rng(6)
+    cond01 = rng.uniform(size=(1, 512, 512, 3)).astype(np.float32)
+    label = np.asarray([1])
+    key = jax.random.PRNGKey(17)
+
+    net = SRUnet(dim=dim, dim_mults=dim_mults, full_attn=full_attn,
+                 learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+                 num_classes=3)
+    d = ElucidatedDiffusion(net=net, image_size=512, num_sample_steps=n_steps)
+    ours = np.asarray(d.tiled_sample(
+        {'params': params}, key, jnp.asarray(cond01), jnp.asarray(label),
+        batch_size=4, tile_size=tile))
+
+    sig, _gam = d.sigmas_gammas(n_steps)
+    e = d.edm
+    geom = make_geometry(512, 512, tile)
+    ph, pw = geom.padded_h, geom.padded_w
+
+    def jnoise(k):
+        return torch.from_numpy(np.asarray(
+            jax.random.normal(k, (1, ph, pw, 3), jnp.float32))
+        ).permute(0, 3, 1, 2)
+
+    cond = torch.from_numpy(cond01).permute(0, 3, 1, 2) * 2 - 1
+    l_pad, r_pad, t_pad, b_pad = geom.pad
+    cond = torch.nn.functional.pad(cond, (l_pad, r_pad, t_pad, b_pad),
+                                   mode='reflect')
+    loop_rng, init_key = jax.random.split(key)
+    img = float(sig[0]) * jnoise(init_key)
+    it, il, ib, ir = geom.interior
+    zcond = torch.zeros_like(cond)
+    zcond[:, :, it:ib, il:ir] = cond[:, :, it:ib, il:ir]
+    lab = torch.as_tensor(label)
+
+    def precond(x, ct, s):
+        c_in = float(e.c_in(s))
+        c_skip = float(e.c_skip(s))
+        c_out = float(e.c_out(s))
+        c_noise = float(e.c_noise(s))
+        tt = torch.full((1,), c_noise)
+        net_out = unet_forward(sd, c_in * x, tt, class_label=lab, cond=ct,
+                               dim=dim, dim_mults=dim_mults,
+                               full_attn=full_attn)
+        return torch.clamp(c_skip * x + c_out * net_out, -1, 1)
+
+    def coords(parity):
+        if parity == 0:
+            return [(y, x) for y in range(0, ph, tile)
+                    for x in range(0, pw, tile)]
+        return [(y, x) for y in range(it, ib - tile + 1, tile)
+                for x in range(il, ir - tile + 1, tile)]
+
+    with torch.no_grad():
+        for i in range(n_steps):
+            s_i, s_n = float(sig[i]), float(sig[i + 1])
+            k = jax.random.fold_in(loop_rng, i)
+            key_t, key_m = jax.random.split(k)
+            _churn = jnoise(key_t)  # drawn (parity with the jax stream);
+            # S_churn = 0 -> sigma_hat == sigma, churn noise unused
+            s_hat = s_i
+            new_img = img.clone()
+            for (ys, xs) in coords(i % 2):
+                xt = img[:, :, ys:ys + tile, xs:xs + tile]
+                ct = zcond[:, :, ys:ys + tile, xs:xs + tile]
+                den = precond(xt, ct, s_hat)
+                dd = (xt - den) / s_hat
+                x_next = xt + (s_n - s_hat) * dd
+                if i < n_steps - 1:  # Heun correction except terminal step
+                    den2 = precond(x_next, ct, s_n)
+                    d2 = (x_next - den2) / s_n
+                    x_next = xt + 0.5 * (s_n - s_hat) * (dd + d2)
+                new_img[:, :, ys:ys + tile, xs:xs + tile] = x_next
+            img = new_img
+            if i % 2 == 1 and geom.has_margin:
+                # margin := sigmas[i] * noise (CURRENT step, model.py:2454-2458)
+                fresh = s_i * jnoise(key_m)
+                mask = torch.zeros(1, 1, ph, pw)
+                mask[:, :, it:ib, il:ir] = 1.0
+                img = img * mask + fresh * (1 - mask)
+
+    left, top, right, bottom = geom.crop
+    theirs = torch.clamp(img[:, :, top:bottom, left:right], -1, 1)
+    theirs = ((theirs + 1) * 0.5).permute(0, 2, 3, 1).numpy()
+
+    max_err = np.abs(ours - theirs).max()
+    mse = np.mean((ours - theirs) ** 2)
+    psnr = -10 * np.log10(max(mse, 1e-20))
+    assert max_err < 2e-3, (max_err, psnr)
+    assert psnr > 60, psnr
+
+
+@pytest.mark.slow
 def test_tiled_sampler_parity_512px():
     """2 steps (one aligned-grid, one shifted-grid incl. margin re-noise) on a
     512^2 canvas -> 768^2 padded, 9 + 4 tiles.
