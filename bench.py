@@ -17,7 +17,11 @@ This is an *estimate*, recorded so the ratio is at least derived, not invented.
 
 Env knobs: BENCH_LR_SIZE (512), BENCH_STEPS (8), BENCH_FULL_STEPS (250),
 BENCH_BATCH (8), BENCH_DTYPE (bfloat16), BENCH_TRACE_DIR (jax.profiler
-trace of the measured run, off by default).
+trace of the measured run, off by default), BENCH_QUANT ('', 'w8a8' =
+dynamic int8-MXU convs, 'w8a8cal' = calibrated static scales — the int8
+modes are opt-in serving knobs, quality evidence in docs/PERF.md; the
+headline stays bf16 because int8's output divergence exceeds the 0.1 dB
+parity budget).
 
 Per-phase wall-clock breakdown (init / compile+first / measure) prints on
 stderr via utils.profiling.PhaseTimer.
@@ -48,8 +52,11 @@ def main():
 
     timer = PhaseTimer()
 
+    quant = os.environ.get('BENCH_QUANT', '')
     conf = ge._flagship_conf()
     conf.compute_dtype = dtype
+    if quant:
+        conf.quantize = 'w8a8'
     net = build_unet_from_config(conf)
     wrapper = build_wrapper(conf, net)
 
@@ -67,6 +74,12 @@ def main():
         jax.block_until_ready(params)
 
     label = jnp.zeros((1,), jnp.int32)
+
+    if quant == 'w8a8cal':
+        from srgd_tpu.nn.quant import calibrate_sampler
+        with timer.phase('calibrate'):
+            params = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
+                                       cond_sample=cond * 2.0 - 1.0)
 
     def run(steps):
         # host-loop mode: per-parity jitted steps (cached on the wrapper);
@@ -122,8 +135,10 @@ def main():
     else:
         vs_baseline = float('nan')
 
+    mode = {'': 'bf16', 'w8a8': 'int8-dyn', 'w8a8cal': 'int8-cal'}.get(
+        quant, quant) if dtype == 'bfloat16' else dtype
     print(json.dumps({
-        'metric': '4x-SR megapixels/sec/chip @512px LR, 250 steps, dim128 bf16',
+        'metric': f'4x-SR megapixels/sec/chip @512px LR, 250 steps, dim128 {mode}',
         'value': round(throughput, 4),
         'unit': 'MPix/s/chip',
         'vs_baseline': round(vs_baseline, 3) if vs_baseline == vs_baseline else None,

@@ -200,6 +200,9 @@ class Config:
     # ------------------------------------------------------------------
     compute_dtype: str = 'float32'    # float32 / bfloat16 for U-Net compute
     param_dtype: str = 'float32'      # storage dtype of parameters
+    quantize: str = 'none'            # 'w8a8' -> int8-MXU U-Net convs
+                                      # (inference; nn/quant.py)
+    quantize_min_channels: int = 0    # only quantize blocks >= this wide
     use_pallas_kernels: bool = False  # fused Pallas attention / GroupNorm+SiLU
     mesh_shape: str = ''              # e.g. '4,2' -> (data, model); '' = all-data
     remat_unet: bool = False          # jax.checkpoint the U-Net stages (training)

@@ -94,6 +94,11 @@ class ContinuousDiffusion:
             return self._learned_table(params['log_snr'], steps)
         return jnp.asarray(self.log_snr_table(num_steps))
 
+    def calibration_times(self, params, n: int = 6):
+        """Representative net time inputs (log-SNR values spanning the
+        sampling range) for W8A8 PTQ calibration (nn/quant.py)."""
+        return self.table(params, max(n - 1, 1))
+
     # ------------------------------------------------------------------
     # Core step math
     # ------------------------------------------------------------------

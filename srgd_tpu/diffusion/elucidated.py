@@ -52,6 +52,12 @@ class ElucidatedDiffusion:
         self._jit_cache = {}
 
     # ------------------------------------------------------------------
+    def calibration_times(self, params, n: int = 6):
+        """Representative net time inputs (c_noise over the Karras sigma
+        range) for W8A8 PTQ calibration (nn/quant.py)."""
+        sig = self.edm.sample_schedule(max(n - 1, 2))[:-1]  # drop trailing 0
+        return self.edm.c_noise(jnp.asarray(sig))
+
     def net_apply(self, params, x, time_b, cond, class_label, class_mask):
         return self.net.apply(params, x, time_b, cond=cond,
                               class_label=class_label, class_mask=class_mask)

@@ -81,6 +81,13 @@ class GaussianDiffusion:
         self._jit_cache = {}
 
     # ------------------------------------------------------------------
+    def calibration_times(self, params, n: int = 6):
+        """Representative net time inputs (timestep indices spanning [0, T))
+        for W8A8 PTQ calibration (nn/quant.py)."""
+        import numpy as np
+        return jnp.asarray(np.linspace(0, self.timesteps - 1, n,
+                                       dtype=np.float32))
+
     def net_apply(self, params, x, time_b, cond, class_label, class_mask):
         return self.net.apply(params, x, time_b.astype(jnp.float32), cond=cond,
                               class_label=class_label, class_mask=class_mask)

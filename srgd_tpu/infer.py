@@ -53,7 +53,16 @@ def parse_args(argv=None):
     p.add_argument('--seed', type=int, default=71)
     p.add_argument('--backend', type=str, default='ddp')  # accepted, unused (parity)
     # TPU-native additions
-    p.add_argument('--precision', type=str, default='fp32', choices=['fp32', 'bf16'])
+    p.add_argument('--precision', type=str, default='fp32',
+                   choices=['fp32', 'bf16', 'int8'],
+                   help='int8: bf16 compute with W8A8 int8-MXU U-Net convs, '
+                        'dynamic activation scales (quality evidence: '
+                        'docs/PERF.md)')
+    p.add_argument('--quant_calibrate', action='store_true',
+                   help='with --precision int8: record static activation '
+                        'scales once (PTQ calibration) instead of per-call '
+                        'dynamic amax — fastest serving mode, slightly '
+                        'larger output divergence')
     p.add_argument('--matmul_precision', type=str, default='default',
                    choices=['default', 'high', 'highest'])
     p.add_argument('--tile_size', type=int, default=256)
@@ -205,7 +214,10 @@ def main(argv=None):
     conf.num_sample_steps = args.num_sample_steps   # parity: inference.py:148
     conf.ckpt_path = args.ckpt_path                 # parity: inference.py:149
     conf.use_dpmpp_solver = args.use_dpmpp_solver
-    conf.compute_dtype = {'fp32': 'float32', 'bf16': 'bfloat16'}[args.precision]
+    conf.compute_dtype = {'fp32': 'float32', 'bf16': 'bfloat16',
+                          'int8': 'bfloat16'}[args.precision]
+    if args.precision == 'int8':
+        conf.quantize = 'w8a8'
     conf.tile_size = args.tile_size
     conf.use_pallas_kernels = args.use_pallas
 
@@ -215,6 +227,13 @@ def main(argv=None):
 
     from srgd_tpu.factory import get_model
     wrapper, net, params = get_model(conf)
+
+    if args.precision == 'int8' and args.quant_calibrate:
+        from srgd_tpu.nn.quant import calibrate_sampler
+        params = calibrate_sampler(
+            wrapper, params, jax.random.PRNGKey(args.seed),
+            tile_size=args.tile_size, batch=min(args.batch_size, 4),
+            class_label=args.test_label)
 
     opts = dict(exec_mode=args.exec_mode,
                 batch_size=args.batch_size, tile_size=args.tile_size,

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from srgd_tpu.nn.quant import conv as _conv
+
 Dtype = Any
 
 
@@ -184,10 +186,12 @@ class Block(nn.Module):
     groups: int = 8
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
-        x = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype, name='proj')(x)
+        x = _conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype,
+                  quant=self.quant, name='proj')(x)
         scale = self.param('norm_scale', nn.initializers.ones, (self.dim_out,), jnp.float32)
         bias = self.param('norm_bias', nn.initializers.zeros, (self.dim_out,), jnp.float32)
         if self.use_pallas:
@@ -219,6 +223,7 @@ class ResnetBlock(nn.Module):
     groups: int = 8
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, time_emb=None):
@@ -230,13 +235,14 @@ class ResnetBlock(nn.Module):
             scale_shift = jnp.split(t, 2, axis=-1)
 
         h = Block(self.dim_out, groups=self.groups, dtype=self.dtype,
-                  use_pallas=self.use_pallas, name='block1')(
+                  use_pallas=self.use_pallas, quant=self.quant, name='block1')(
             x, scale_shift=scale_shift)
         h = Block(self.dim_out, groups=self.groups, dtype=self.dtype,
-                  use_pallas=self.use_pallas, name='block2')(h)
+                  use_pallas=self.use_pallas, quant=self.quant, name='block2')(h)
 
         if self.dim != self.dim_out:
-            res = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name='res_conv')(x)
+            res = _conv(self.dim_out, (1, 1), dtype=self.dtype,
+                        quant=self.quant, name='res_conv')(x)
         else:
             res = x
         return h + res
@@ -263,6 +269,7 @@ class LinearAttention(nn.Module):
     dim_head: int = 32
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -271,8 +278,8 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
 
         y = RMSNorm(self.dim, dtype=self.dtype, name='norm')(x)
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
-                      name='to_qkv')(y)
+        qkv = _conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
+                    quant=self.quant, name='to_qkv')(y)
 
         if self.use_pallas and n % 256 == 0:
             from srgd_tpu.kernels.linear_attention import (
@@ -317,7 +324,8 @@ class LinearAttention(nn.Module):
                          preferred_element_type=jnp.float32)
         out = out.reshape(b, h, w, hidden).astype(self.dtype)
 
-        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name='to_out')(out)
+        out = _conv(self.dim, (1, 1), dtype=self.dtype, quant=self.quant,
+                    name='to_out')(out)
         out = RMSNorm(self.dim, dtype=self.dtype, name='out_norm')(out)
         return out
 
@@ -335,6 +343,7 @@ class Attention(nn.Module):
     dim_head: int = 32
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -343,8 +352,8 @@ class Attention(nn.Module):
         hidden = self.heads * self.dim_head
 
         y = RMSNorm(self.dim, dtype=self.dtype, name='norm')(x)
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
-                      name='to_qkv')(y)
+        qkv = _conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
+                    quant=self.quant, name='to_qkv')(y)
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # (b, heads, n, d)
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
@@ -362,7 +371,8 @@ class Attention(nn.Module):
                              preferred_element_type=jnp.float32)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden).astype(self.dtype)
-        out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name='to_out')(out)
+        out = _conv(self.dim, (1, 1), dtype=self.dtype, quant=self.quant,
+                    name='to_out')(out)
         return out
 
 
@@ -381,6 +391,7 @@ class PixelShuffleUpsample(nn.Module):
     dim: int
     dim_out: int
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -396,9 +407,9 @@ class PixelShuffleUpsample(nn.Module):
             # all 4 subpixel positions of a channel start identical
             return jnp.repeat(base, 4, axis=-1)
 
-        y = nn.Conv(self.dim_out * 4, (1, 1), dtype=self.dtype,
-                    kernel_init=repeated_kaiming,
-                    bias_init=nn.initializers.zeros, name='conv')(x)
+        y = _conv(self.dim_out * 4, (1, 1), dtype=self.dtype,
+                  quant=self.quant, kernel_init=repeated_kaiming,
+                  bias_init=nn.initializers.zeros, name='conv')(x)
         y = jax.nn.silu(y)
         b, h, w, c = y.shape
         # torch PixelShuffle: in-channel o = c*4 + dy*2 + dx
@@ -412,12 +423,13 @@ class NearestUpsample(nn.Module):
 
     dim_out: int
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype,
-                       name='conv')(x)
+        return _conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype,
+                     quant=self.quant, name='conv')(x)
 
 
 class Downsample(nn.Module):
@@ -428,6 +440,7 @@ class Downsample(nn.Module):
 
     dim_out: int
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -435,4 +448,5 @@ class Downsample(nn.Module):
         y = x.reshape(b, h // 2, 2, w // 2, 2, c)
         y = y.transpose(0, 1, 3, 5, 2, 4)
         y = y.reshape(b, h // 2, w // 2, c * 4)
-        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name='conv')(y)
+        return _conv(self.dim_out, (1, 1), dtype=self.dtype,
+                     quant=self.quant, name='conv')(y)

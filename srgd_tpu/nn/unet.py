@@ -34,6 +34,7 @@ from srgd_tpu.nn.layers import (
     ResnetBlock,
     TimeMLP,
 )
+from srgd_tpu.nn.quant import conv as _conv
 
 Dtype = Any
 
@@ -65,19 +66,28 @@ class SRUnet(nn.Module):
     use_pallas: bool = False            # fused GN+SiLU and linear attention
     use_pallas_attention: bool = False  # flash kernel for full attention
     remat: bool = False
+    quant: Optional[str] = None         # 'w8a8' -> int8-MXU convs (inference);
+                                        # init_conv/final_conv stay high-precision
+    quant_min_channels: int = 0         # only quantize blocks this wide or wider
+                                        # (shallow big-spatial stages gain least
+                                        # from int8 and pay the most requant
+                                        # bandwidth — docs/PERF.md)
 
     @property
     def downsample_factor(self) -> int:
         return 2 ** (len(self.dim_mults) - 1)
 
+    def _quant(self, width: int) -> Optional[str]:
+        return self.quant if width >= self.quant_min_channels else None
+
     def _attn(self, dim, is_full, name):
         if is_full:
             return Attention(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
-                             dtype=self.dtype,
+                             dtype=self.dtype, quant=self._quant(dim),
                              use_pallas=self.use_pallas_attention, name=name)
         return LinearAttention(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
                                dtype=self.dtype, use_pallas=self.use_pallas,
-                               name=name)
+                               quant=self._quant(dim), name=name)
 
     @nn.compact
     def __call__(self, x, time, cond=None, class_label=None, class_mask=None):
@@ -121,7 +131,8 @@ class SRUnet(nn.Module):
 
         block = lambda d_in, d_out, name: ResnetBlock(
             d_in, d_out, time_emb_dim=time_dim, groups=groups, dtype=self.dtype,
-            use_pallas=self.use_pallas, name=name)
+            use_pallas=self.use_pallas, quant=self._quant(min(d_in, d_out)),
+            name=name)
 
         hs = []
         for i, (d_in, d_out) in enumerate(in_out):
@@ -132,10 +143,11 @@ class SRUnet(nn.Module):
             x = self._attn(d_in, self.full_attn[i], f'downs_{i}_2')(x) + x
             hs.append(x)
             if not is_last:
-                x = Downsample(d_out, dtype=self.dtype, name=f'downs_{i}_3')(x)
+                x = Downsample(d_out, dtype=self.dtype, quant=self._quant(d_in),
+                               name=f'downs_{i}_3')(x)
             else:
-                x = nn.Conv(d_out, (3, 3), padding=1, dtype=self.dtype,
-                            name=f'downs_{i}_3')(x)
+                x = _conv(d_out, (3, 3), padding=1, dtype=self.dtype,
+                          quant=self._quant(d_in), name=f'downs_{i}_3')(x)
 
         mid_dim = dims[-1]
         x = block(mid_dim, mid_dim, 'mid_block1')(x, t)
@@ -154,17 +166,20 @@ class SRUnet(nn.Module):
             if not is_last:
                 if self.pixel_shuffle_upsample:
                     x = PixelShuffleUpsample(d_out, d_in, dtype=self.dtype,
+                                             quant=self._quant(d_out),
                                              name=f'ups_{i}_3')(x)
                 else:
-                    x = NearestUpsample(d_in, dtype=self.dtype, name=f'ups_{i}_3')(x)
+                    x = NearestUpsample(d_in, dtype=self.dtype,
+                                        quant=self._quant(d_out),
+                                        name=f'ups_{i}_3')(x)
             else:
-                x = nn.Conv(d_in, (3, 3), padding=1, dtype=self.dtype,
-                            name=f'ups_{i}_3')(x)
+                x = _conv(d_in, (3, 3), padding=1, dtype=self.dtype,
+                          quant=self._quant(d_out), name=f'ups_{i}_3')(x)
 
         x = jnp.concatenate([x, r], axis=-1)
         x = ResnetBlock(dim * 2, dim, time_emb_dim=time_dim, groups=groups,
                         dtype=self.dtype, use_pallas=self.use_pallas,
-                        name='final_res_block')(x, t)
+                        quant=self._quant(dim), name='final_res_block')(x, t)
 
         out_dim = self.out_dim or self.channels * (2 if self.learned_variance else 1)
         x = nn.Conv(out_dim, (1, 1), dtype=self.dtype, name='final_conv')(x)
@@ -193,4 +208,6 @@ def build_unet_from_config(conf, dtype=None) -> SRUnet:
         dtype=dtype,
         use_pallas=conf.use_pallas_kernels,
         remat=conf.remat_unet,
+        quant=None if conf.quantize == 'none' else conf.quantize,
+        quant_min_channels=conf.quantize_min_channels,
     )

@@ -1,0 +1,160 @@
+"""W8A8 int8 quantization tests (nn/quant.py).
+
+The quantized path is a TPU-serving addition with no reference counterpart
+(the reference samples fp32 end to end, /root/reference/inference.py:83-84);
+these tests pin its contracts: checkpoint-compatible parameter trees,
+bounded divergence from the float path, calibration semantics, and an
+end-to-end quantized tiled sample.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from srgd_tpu.config import Config
+from srgd_tpu.factory import build_wrapper
+from srgd_tpu.nn.quant import QuantConv, calibrate_sampler
+from srgd_tpu.nn.unet import build_unet_from_config
+
+
+def _tiny_conf(**kw):
+    base = dict(model='conditional_continuous', unet_dim=16,
+                ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+                num_classes=3, image_size=16, quantize='w8a8')
+    base.update(kw)
+    return Config(**base)
+
+
+def _init_net(conf, shape=(1, 16, 16, 3)):
+    net = build_unet_from_config(conf)
+    label = jnp.zeros((shape[0],), jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros(shape),
+                      jnp.zeros((shape[0],)), cond=jnp.zeros(shape),
+                      class_label=label)
+    return net, params
+
+
+def test_quantconv_param_tree_matches_nn_conv():
+    """Same kernel/bias names, shapes, dtypes AND init values -> checkpoints
+    convert and round-trip unchanged whether quantization is on or off."""
+    x = jnp.zeros((2, 8, 8, 4))
+    p_q = QuantConv(16, (3, 3), padding=1).init(jax.random.PRNGKey(3), x)
+    p_f = nn.Conv(16, (3, 3), padding=1).init(jax.random.PRNGKey(3), x)
+    assert jax.tree.structure(p_q) == jax.tree.structure(p_f)
+    for a, b in zip(jax.tree.leaves(p_q), jax.tree.leaves(p_f)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quant_unet_init_tree_identical_and_no_stats():
+    """net.init of the quantized U-Net must match the float net exactly and
+    must NOT record a quant_stats collection (a scale recorded from the
+    zeros init inputs would silently freeze s_x ~ 0)."""
+    conf = _tiny_conf()
+    _, pq = _init_net(conf)
+    conf.quantize = 'none'
+    _, pf = _init_net(conf)
+    assert 'quant_stats' not in pq
+    same = jax.tree.map(lambda a, b: bool((a == b).all()), pq, pf)
+    assert all(jax.tree.leaves(same))
+
+
+def test_quant_forward_close_to_float():
+    conf = _tiny_conf()
+    qnet, params = _init_net(conf)
+    conf.quantize = 'none'
+    fnet, _ = _init_net(conf)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3), jnp.float32)
+    t = jnp.zeros((2,))
+    lb = jnp.zeros((2,), jnp.int32)
+    yf = fnet.apply(params, x, t, cond=x, class_label=lb)
+    yq = qnet.apply(params, x, t, cond=x, class_label=lb)
+    rel = float(jnp.max(jnp.abs(yf - yq)) / jnp.max(jnp.abs(yf)))
+    assert rel < 0.10, rel
+
+
+def test_quant_min_channels_disables_narrow_blocks():
+    """quant_min_channels above every width must reproduce the float path
+    bit-for-bit (no QuantConv instantiated anywhere)."""
+    conf = _tiny_conf(quantize_min_channels=4096)
+    qnet, params = _init_net(conf)
+    conf.quantize, conf.quantize_min_channels = 'none', 0
+    fnet, _ = _init_net(conf)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 3), jnp.float32)
+    t = jnp.zeros((1,))
+    lb = jnp.zeros((1,), jnp.int32)
+    yf = fnet.apply(params, x, t, cond=x, class_label=lb)
+    yq = qnet.apply(params, x, t, cond=x, class_label=lb)
+    np.testing.assert_array_equal(np.asarray(yf), np.asarray(yq))
+
+
+def test_calibrate_sampler_records_stats_and_stays_close():
+    conf = _tiny_conf()
+    qnet, params = _init_net(conf)
+    wrapper = build_wrapper(conf, qnet)
+    pc = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
+                           tile_size=16, batch=2)
+    assert 'quant_stats' in pc
+    scales = jax.tree.leaves(pc['quant_stats'])
+    assert scales and all(float(s) > 0 for s in scales)
+
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 16, 16, 3), jnp.float32)
+    t = jnp.zeros((2,))
+    lb = jnp.zeros((2,), jnp.int32)
+    yd = qnet.apply(params, x, t, cond=x, class_label=lb)   # dynamic
+    ys = qnet.apply(pc, x, t, cond=x, class_label=lb)       # static scales
+    rel = float(jnp.max(jnp.abs(yd - ys)) / jnp.max(jnp.abs(yd)))
+    assert rel < 0.15, rel
+
+
+def test_calibrate_sampler_margin_scales_stats():
+    conf = _tiny_conf()
+    qnet, params = _init_net(conf)
+    wrapper = build_wrapper(conf, qnet)
+    p1 = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
+                           tile_size=16, batch=1)
+    p2 = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
+                           tile_size=16, batch=1, margin=2.0)
+    for a, b in zip(jax.tree.leaves(p1['quant_stats']),
+                    jax.tree.leaves(p2['quant_stats'])):
+        np.testing.assert_allclose(np.asarray(a) * 2.0, np.asarray(b),
+                                   rtol=1e-6)
+
+
+@pytest.mark.parametrize('model', ['conditional_continuous',
+                                   'conditional_gaussian',
+                                   'conditional_elucidated'])
+def test_calibration_times_cover_each_family(model):
+    conf = _tiny_conf(model=model, timesteps=20, sampling_timesteps=10,
+                      num_sample_steps=6,
+                      # gaussian family forbids learned sinusoidal (factory
+                      # parity assert, reference model.py:3535)
+                      learned_sinusoidal_cond=(model != 'conditional_gaussian'))
+    qnet, params = _init_net(conf)
+    wrapper = build_wrapper(conf, qnet)
+    times = wrapper.calibration_times(params, 5)
+    assert times.shape[0] >= 2
+    assert np.all(np.isfinite(np.asarray(times, np.float32)))
+
+
+def test_quantized_tiled_sample_end_to_end():
+    """Calibrated quantized tiled sampling runs and host-loop matches scan."""
+    conf = _tiny_conf(unet_dim=8)
+    qnet, params = _init_net(conf)
+    wrapper = build_wrapper(conf, qnet)
+    params = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
+                               tile_size=16, batch=2)
+    cond = jnp.asarray(np.random.RandomState(0).rand(1, 24, 24, 3), jnp.float32)
+    label = jnp.zeros((1,), jnp.int32)
+    out = wrapper.tiled_sample(params, jax.random.PRNGKey(71), cond, label,
+                               batch_size=2, tile_size=16, num_sample_steps=4)
+    assert out.shape == (1, 24, 24, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    out2 = wrapper.tiled_sample(params, jax.random.PRNGKey(71), cond, label,
+                                batch_size=2, tile_size=16,
+                                num_sample_steps=4, host_loop=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)

@@ -1,11 +1,14 @@
-"""Quantify the bf16-vs-fp32 sampling divergence on real shapes.
+"""Quantify reduced-precision sampling divergence on real shapes.
 
-The bench runs the sampler in bfloat16; the reference runs fp32. This probe
-runs the SAME tiled sampling (identical keys, random flagship-shape weights)
-in fp32 and bf16 and reports PSNR between the outputs — evidence for the
-0.1 dB parity budget under bf16 compute.
+The reference samples fp32; this probe runs the SAME tiled sampling
+(identical keys, random flagship-shape weights) in each requested mode and
+reports PSNR of every mode against the first — evidence for the 0.1 dB
+parity budget under bf16 / W8A8-int8 compute.
 
-Env knobs: QP_LR (128), QP_STEPS (50), QP_DIM (128).
+Env knobs: QP_LR (128), QP_STEPS (50), QP_DIM (128),
+QP_MODES ('float32,bfloat16'; 'w8a8' = bf16 + calibrated int8-MXU convs,
+'w8a8dyn' = same with dynamic activation scales), QP_QMIN (0 — only
+quantize blocks >= this many channels).
 Run on the TPU chip: python tools/quality_probe.py
 """
 
@@ -35,37 +38,51 @@ def main():
     cond = jax.random.uniform(jax.random.PRNGKey(1), (1, hr, hr, 3), jnp.float32)
     label = jnp.zeros((1,), jnp.int32)
 
+    modes = os.environ.get('QP_MODES', 'float32,bfloat16').split(',')
+
     conf = ge._flagship_conf(unet_dim=dim)
     outs = {}
-    for dtype in ('float32', 'bfloat16'):
-        conf.compute_dtype = dtype
+    for mode in modes:
+        is_q = mode.startswith('w8a8')
+        conf.compute_dtype = 'bfloat16' if is_q else mode
+        conf.quantize = 'w8a8' if is_q else 'none'
+        conf.quantize_min_channels = int(os.environ.get('QP_QMIN', 0))
         net = build_unet_from_config(conf)
         wrapper = build_wrapper(conf, net)
         params = jax.jit(lambda k: net.init(
             k, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,)),
             cond=jnp.zeros((1, 256, 256, 3)),
             class_label=jnp.zeros((1,), jnp.int32)))(jax.random.PRNGKey(0))
-        if dtype == 'bfloat16':
+        if conf.compute_dtype == 'bfloat16':
             params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        if mode == 'w8a8':
+            from srgd_tpu.nn.quant import calibrate_sampler
+            params = calibrate_sampler(
+                wrapper, params, jax.random.PRNGKey(7),
+                cond_sample=cond * 2.0 - 1.0)
+        # 'w8a8dyn': no calibration -> dynamic per-call amax scales
         t0 = time.time()
         out = wrapper.tiled_sample(params, rng, cond, label, batch_size=8,
                                    tile_size=256, num_sample_steps=steps,
                                    host_loop=True)
         out = np.asarray(out, np.float32)
-        print(f'{dtype}: sampled {hr}px, {steps} steps in '
+        print(f'{mode}: sampled {hr}px, {steps} steps in '
               f'{time.time() - t0:.1f}s', flush=True)
-        outs[dtype] = out
+        outs[mode] = out
 
-    a, b = outs['float32'], outs['bfloat16']
-    mse = float(np.mean((a - b) ** 2))
-    psnr = -10 * np.log10(max(mse, 1e-20))
-    # PSNR of each vs the quantized-to-uint8 other (what users see)
-    qa = np.round(a * 255) / 255
-    qb = np.round(b * 255) / 255
-    mse_q = float(np.mean((qa - qb) ** 2))
-    print(f'bf16 vs fp32: PSNR {psnr:.2f} dB  (max|d| {np.abs(a - b).max():.4f}, '
-          f'uint8-quantized PSNR {-10 * np.log10(max(mse_q, 1e-20)):.2f} dB)',
-          flush=True)
+    ref = modes[0]
+    a = outs[ref]
+    for mode in modes[1:]:
+        b = outs[mode]
+        mse = float(np.mean((a - b) ** 2))
+        psnr = -10 * np.log10(max(mse, 1e-20))
+        # PSNR of each vs the quantized-to-uint8 other (what users see)
+        qa = np.round(a * 255) / 255
+        qb = np.round(b * 255) / 255
+        mse_q = float(np.mean((qa - qb) ** 2))
+        print(f'{mode} vs {ref}: PSNR {psnr:.2f} dB  '
+              f'(max|d| {np.abs(a - b).max():.4f}, uint8-quantized PSNR '
+              f'{-10 * np.log10(max(mse_q, 1e-20)):.2f} dB)', flush=True)
 
 
 if __name__ == '__main__':
