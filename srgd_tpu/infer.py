@@ -204,31 +204,32 @@ def batch_sr_target_images(input_dir, output_dir, sampler: SamplerCache,
                     mpix, time.time() - t0)
 
 
-def main(argv=None):
-    logging.basicConfig(level=logging.INFO,
-                        format='%(asctime)s %(name)s %(levelname)s %(message)s')
-    args = parse_args(argv)
+def build_model_and_opts(args):
+    """Config -> model -> (wrapper, net, params, sampler opts, mesh).
 
+    Shared by the batch CLI (this module) and the serving daemon
+    (srgd_tpu.serve). ``args`` needs the sampling/precision flag surface of
+    ``parse_args``. CLI-mutates-config parity: reference inference.py:148-152."""
     from srgd_tpu.config import load_config
     conf = load_config(args.conf)
     conf.num_sample_steps = args.num_sample_steps   # parity: inference.py:148
     conf.ckpt_path = args.ckpt_path                 # parity: inference.py:149
-    conf.use_dpmpp_solver = args.use_dpmpp_solver
+    conf.use_dpmpp_solver = getattr(args, 'use_dpmpp_solver', True)
     conf.compute_dtype = {'fp32': 'float32', 'bf16': 'bfloat16',
                           'int8': 'bfloat16'}[args.precision]
     if args.precision == 'int8':
         conf.quantize = 'w8a8'
     conf.tile_size = args.tile_size
-    conf.use_pallas_kernels = args.use_pallas
+    conf.use_pallas_kernels = getattr(args, 'use_pallas', False)
 
     import jax
-    if args.matmul_precision != 'default':
+    if getattr(args, 'matmul_precision', 'default') != 'default':
         jax.config.update('jax_default_matmul_precision', args.matmul_precision)
 
     from srgd_tpu.factory import get_model
     wrapper, net, params = get_model(conf)
 
-    if args.precision == 'int8' and args.quant_calibrate:
+    if args.precision == 'int8' and getattr(args, 'quant_calibrate', False):
         from srgd_tpu.nn.quant import calibrate_sampler
         params = calibrate_sampler(
             wrapper, params, jax.random.PRNGKey(args.seed),
@@ -242,11 +243,20 @@ def main(argv=None):
                 class_cond_scale=args.class_cond_scale,
                 class_guidance_start_steps=args.class_guidance_start_steps,
                 generation_start_steps=args.generation_start_steps,
-                num_sample_steps=args.num_sample_steps)
+                num_sample_steps=args.num_sample_steps,
+                model=conf.model)
     mesh = None
-    if args.mesh:
+    if getattr(args, 'mesh', ''):
         from srgd_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(tuple(int(x) for x in args.mesh.split(',')))
+    return wrapper, net, params, opts, mesh
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format='%(asctime)s %(name)s %(levelname)s %(message)s')
+    args = parse_args(argv)
+    wrapper, net, params, opts, mesh = build_model_and_opts(args)
     sampler = SamplerCache(wrapper, params, opts, mesh=mesh)
 
     print(args)

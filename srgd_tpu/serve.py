@@ -1,0 +1,312 @@
+"""Long-lived production serving daemon for srgd-tpu.
+
+The reference ships only a one-shot batch CLI (/root/reference/inference.py);
+real deployments need a resident process. This daemon loads the model once
+and keeps everything hot across requests — device-resident (optionally
+mesh-replicated) weights and the per-geometry jitted samplers — then serves
+through either front-end, or both at once:
+
+- **watch**: continuously polls ``--input_dir`` for new images, writes 4x
+  outputs to ``--output_dir`` (same skip-existing/rename semantics as the
+  batch CLI, so it is idempotent and resumable);
+- **http**: stdlib threaded HTTP server — ``POST /v1/sr`` (image body in,
+  PNG out, knobs via query string), ``GET /healthz`` (liveness + model
+  info, responsive even mid-sample), ``GET /stats`` (counters).
+
+TPU-first serving design:
+
+- **Geometry bucketing** (``--lr_bucket``, default 64): arbitrary input
+  sizes would each compile their own sampler. Inputs are reflect-padded up
+  to the next bucket multiple before the 4x pre-upscale and the SR output
+  is cropped back, so all requests in a bucket share one compiled geometry
+  and only the first request of a bucket pays the compile.
+- **Warmup** (``--warmup_sizes``): pre-trace the listed LR sizes at startup
+  so no user request ever pays first-compile latency.
+- One sampler runs at a time (the chip is throughput-bound); HTTP requests
+  serialize on a model lock while health stays responsive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import logging
+import os
+import signal
+import threading
+import time
+
+import numpy as np
+
+logger = logging.getLogger('srgd_tpu.serve')
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description='srgd-tpu serving daemon')
+    p.add_argument('-c', '--conf', required=True)
+    p.add_argument('-m', '--ckpt_path', type=str, required=True)
+    p.add_argument('--mode', type=str, default='watch',
+                   choices=['watch', 'http', 'both'])
+    # watch front-end
+    p.add_argument('--input_dir', type=str, default=None)
+    p.add_argument('--output_dir', type=str, default=None)
+    p.add_argument('--poll_interval', type=float, default=2.0)
+    # http front-end
+    p.add_argument('--port', type=int, default=8471)
+    p.add_argument('--host', type=str, default='127.0.0.1')
+    # serving behavior
+    p.add_argument('--lr_bucket', type=int, default=64,
+                   help='reflect-pad LR inputs up to a multiple of this many '
+                        'pixels so requests share compiled geometries (0 = off)')
+    p.add_argument('--warmup_sizes', type=str, default='',
+                   help="comma-separated square LR sizes to precompile at "
+                        "startup, e.g. '64,128'")
+    # sampling knobs (same semantics as srgd_tpu.infer)
+    p.add_argument('--batch_size', type=int, default=8)
+    p.add_argument('--num_sample_steps', type=int, default=250)
+    p.add_argument('--tile_size', type=int, default=256)
+    p.add_argument('--cond_scale', type=float, default=1.0)
+    p.add_argument('--class_cond_scale', type=float, default=1.0)
+    p.add_argument('--guidance_start_steps', type=int, default=0)
+    p.add_argument('--class_guidance_start_steps', type=int, default=0)
+    p.add_argument('--generation_start_steps', type=int, default=0)
+    p.add_argument('--test_label', type=int, default=None)
+    p.add_argument('--seed', type=int, default=71)
+    p.add_argument('--interpolation', type=str, default='bicubic')
+    p.add_argument('--exec_mode', type=str, default='host',
+                   choices=['host', 'scan'])
+    p.add_argument('--precision', type=str, default='bf16',
+                   choices=['fp32', 'bf16', 'int8'])
+    p.add_argument('--quant_calibrate', action='store_true')
+    p.add_argument('--mesh', type=str, default='')
+    return p.parse_args(argv)
+
+
+# ---------------------------------------------------------------------------
+# Geometry bucketing
+# ---------------------------------------------------------------------------
+
+def bucket_pad(image, bucket: int):
+    """Reflect-pad a PIL image up to the next multiple of ``bucket`` on each
+    side. Returns (padded PIL image, (orig_w, orig_h))."""
+    if bucket <= 0:
+        return image, image.size
+    from PIL import Image
+    w, h = image.size
+    bw = -(-w // bucket) * bucket
+    bh = -(-h // bucket) * bucket
+    if (bw, bh) == (w, h):
+        return image, (w, h)
+    arr = np.asarray(image)
+    arr = np.pad(arr, ((0, bh - h), (0, bw - w), (0, 0)), mode='reflect')
+    return Image.fromarray(arr), (w, h)
+
+
+def bucket_crop(sr_image, orig_size, scale: int = 4):
+    """Crop a bucketed SR output back to scale * the original size."""
+    w, h = orig_size
+    if sr_image.size == (w * scale, h * scale):
+        return sr_image
+    return sr_image.crop((0, 0, w * scale, h * scale))
+
+
+# ---------------------------------------------------------------------------
+# Server core
+# ---------------------------------------------------------------------------
+
+class Server:
+    """Warm model + jit caches + counters shared by the front-ends."""
+
+    def __init__(self, args):
+        self.args = args
+        from srgd_tpu.infer import SamplerCache, build_model_and_opts
+        sampler_args = argparse.Namespace(**vars(args))
+        sampler_args.use_pallas = False
+        sampler_args.matmul_precision = 'default'
+        wrapper, net, params, opts, mesh = build_model_and_opts(sampler_args)
+        self.sampler = SamplerCache(wrapper, params, opts, mesh=mesh)
+        self.lock = threading.Lock()       # one sample in flight at a time
+        self.stop = threading.Event()
+        self.stats = {'served': 0, 'errors': 0, 'mpix': 0.0,
+                      'sample_seconds': 0.0, 'started': time.time()}
+        self.model_info = {
+            'model': opts.get('model', ''), 'num_sample_steps':
+                args.num_sample_steps, 'precision': args.precision,
+            'tile_size': args.tile_size, 'lr_bucket': args.lr_bucket,
+        }
+
+    # -- one request -------------------------------------------------------
+    def super_resolve(self, image, seed=None, test_label=None):
+        """PIL image in -> 4x PIL image out (bucketed geometry)."""
+        from srgd_tpu.infer import sr_target_image
+        padded, orig = bucket_pad(image, self.args.lr_bucket)
+        with self.lock:
+            t0 = time.time()   # after the lock: sample time, not queue wait
+            sr = sr_target_image(
+                padded, self.sampler,
+                test_label=self.args.test_label if test_label is None
+                else test_label,
+                interpolation=self.args.interpolation,
+                seed=self.args.seed if seed is None else seed)
+            dt = time.time() - t0
+        sr = bucket_crop(sr, orig)
+        self.stats['served'] += 1
+        self.stats['mpix'] += sr.size[0] * sr.size[1] / 1e6
+        self.stats['sample_seconds'] += dt
+        return sr
+
+    def warmup(self):
+        sizes = [int(s) for s in self.args.warmup_sizes.split(',') if s]
+        for s in sizes:
+            from PIL import Image
+            logger.info('warmup: compiling %dpx geometry', s)
+            img = Image.fromarray(
+                np.zeros((s, s, 3), np.uint8))
+            self.super_resolve(img, seed=0)
+            self.stats['served'] -= 1  # warmups are not traffic
+
+    # -- watch front-end ---------------------------------------------------
+    def process_dir_once(self):
+        """One pass over input_dir; returns the number of images produced.
+        Same rename/skip/unreadable semantics as the batch CLI
+        (reference inference.py:108-142)."""
+        import glob
+        from srgd_tpu.infer import try_open_image
+        a = self.args
+        os.makedirs(a.output_dir, exist_ok=True)
+        done = 0
+        for filename in sorted(glob.glob(f'{a.input_dir}/*')):
+            name = os.path.basename(filename).replace('.png', '_out.png')
+            save_path = os.path.join(a.output_dir, name)
+            if os.path.exists(save_path):
+                continue
+            image = try_open_image(filename)
+            if image is None:
+                logger.warning('unreadable input skipped: %s', filename)
+                continue
+            t0 = time.time()
+            sr = self.super_resolve(image)
+            sr.save(save_path)
+            done += 1
+            logger.info('%s -> %s (%.2fs)', filename, save_path,
+                        time.time() - t0)
+            if self.stop.is_set():
+                break
+        return done
+
+    def watch_loop(self):
+        logger.info('watching %s -> %s every %.1fs', self.args.input_dir,
+                    self.args.output_dir, self.args.poll_interval)
+        while not self.stop.is_set():
+            try:
+                self.process_dir_once()
+            except Exception:
+                self.stats['errors'] += 1
+                logger.exception('watch pass failed')
+            self.stop.wait(self.args.poll_interval)
+
+    # -- http front-end ----------------------------------------------------
+    def make_http_server(self):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import parse_qs, urlparse
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *a):
+                logger.debug('http: ' + fmt, *a)
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header('Content-Type', 'application/json')
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path == '/healthz':
+                    self._json(200, {'status': 'ok',
+                                     'busy': server.lock.locked(),
+                                     **server.model_info})
+                elif path == '/stats':
+                    s = dict(server.stats)
+                    s['uptime_seconds'] = time.time() - s.pop('started')
+                    self._json(200, s)
+                else:
+                    self._json(404, {'error': 'not found'})
+
+            def do_POST(self):
+                path = urlparse(self.path)
+                if path.path != '/v1/sr':
+                    self._json(404, {'error': 'not found'})
+                    return
+                q = parse_qs(path.query)
+                try:
+                    from PIL import Image
+                    n = int(self.headers.get('Content-Length', 0))
+                    img = Image.open(io.BytesIO(self.rfile.read(n)))
+                    img = img.convert('RGB')
+                except Exception as e:
+                    server.stats['errors'] += 1
+                    self._json(400, {'error': f'bad image: {e}'})
+                    return
+                try:
+                    seed = int(q['seed'][0]) if 'seed' in q else None
+                    label = (int(q['label'][0]) if 'label' in q else None)
+                    sr = server.super_resolve(img, seed=seed, test_label=label)
+                    buf = io.BytesIO()
+                    sr.save(buf, format='PNG')
+                    body = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header('Content-Type', 'image/png')
+                    self.send_header('Content-Length', str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except Exception as e:
+                    server.stats['errors'] += 1
+                    logger.exception('sr request failed')
+                    self._json(500, {'error': str(e)})
+
+        return ThreadingHTTPServer((self.args.host, self.args.port), Handler)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format='%(asctime)s %(name)s %(levelname)s %(message)s')
+    args = parse_args(argv)
+    if args.mode in ('watch', 'both') and not (args.input_dir and args.output_dir):
+        raise SystemExit('--mode watch requires --input_dir and --output_dir')
+
+    server = Server(args)
+    if args.warmup_sizes:
+        server.warmup()
+
+    def handle_term(signum, frame):
+        logger.info('signal %d: shutting down', signum)
+        server.stop.set()
+
+    signal.signal(signal.SIGTERM, handle_term)
+    signal.signal(signal.SIGINT, handle_term)
+
+    httpd = None
+    if args.mode in ('http', 'both'):
+        httpd = server.make_http_server()
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        logger.info('http serving on %s:%d', args.host, args.port)
+
+    if args.mode in ('watch', 'both'):
+        server.watch_loop()
+    else:
+        server.stop.wait()
+
+    if httpd is not None:
+        httpd.shutdown()
+    logger.info('served %d images, %d errors', server.stats['served'],
+                server.stats['errors'])
+
+
+if __name__ == '__main__':
+    main()
