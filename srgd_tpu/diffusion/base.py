@@ -132,6 +132,9 @@ def prepare_tile_context(cond_padded, geom, batch: int, batch_size: int,
         cond_tiles.append(ct)
         n_chunks.append(ct.shape[0] // chunks[parity])
         if class_label is not None:
+            assert class_label.shape == (batch,), (
+                f'class_label must be one label per canvas: '
+                f'{class_label.shape} vs batch {batch}')
             lt = jnp.repeat(class_label, n_tiles[parity] // batch)
             label_tiles.append(jnp.pad(lt, (0, ct.shape[0] - lt.shape[0])))
         else:

@@ -119,8 +119,13 @@ class SamplerCache:
         self._cache = {}
 
     def sample(self, cond_np: np.ndarray, label, seed: int) -> np.ndarray:
+        """cond_np: (B, H, W, C) in [0,1]; label: None, int (applied to every
+        canvas), or per-canvas (B,) array; returns (B, 4H, 4W, C)."""
         import jax
         import jax.numpy as jnp
+        if label is not None:
+            label = np.broadcast_to(
+                np.asarray(label, np.int32).reshape(-1), (cond_np.shape[0],))
         o = self.opts
         fn = partial(self.wrapper.tiled_sample,
                      batch_size=o['batch_size'], tile_size=o['tile_size'],
@@ -148,12 +153,12 @@ class SamplerCache:
             cond = jax.device_put(cond, canvas_sharding(self.mesh))
             with self.mesh:
                 out = jitted(self.params, rng, cond) if label is None else \
-                    jitted(self.params, rng, cond, jnp.asarray([label]))
+                    jitted(self.params, rng, cond, jnp.asarray(label))
             return np.asarray(out)
         if label is None:
             out = jitted(self.params, rng, cond)
         else:
-            out = jitted(self.params, rng, cond, jnp.asarray([label]))
+            out = jitted(self.params, rng, cond, jnp.asarray(label))
         return np.asarray(out)
 
 

@@ -22,6 +22,10 @@ TPU-first serving design:
   and only the first request of a bucket pays the compile.
 - **Warmup** (``--warmup_sizes``): pre-trace the listed LR sizes at startup
   so no user request ever pays first-compile latency.
+- **Request coalescing** (``--coalesce_window``): concurrent same-geometry
+  seedless requests are stacked into ONE batched canvas, pooling their
+  tiles into the tile minibatch — small images alone underfill the chip.
+  Explicitly-seeded requests always run alone (per-request determinism).
 - One sampler runs at a time (the chip is throughput-bound); HTTP requests
   serialize on a model lock while health stays responsive.
 """
@@ -59,6 +63,15 @@ def parse_args(argv=None):
     p.add_argument('--lr_bucket', type=int, default=64,
                    help='reflect-pad LR inputs up to a multiple of this many '
                         'pixels so requests share compiled geometries (0 = off)')
+    p.add_argument('--coalesce_window', type=float, default=0.0,
+                   help='seconds to wait for same-geometry requests and '
+                        'sample them as ONE batched canvas (0 = off). Small '
+                        'images alone underfill the tile minibatch; batching '
+                        'canvases pools their tiles. Coalesced requests '
+                        'share one noise stream (per-request seeds still '
+                        'run alone, deterministically)')
+    p.add_argument('--max_batch_images', type=int, default=8,
+                   help='cap on canvases coalesced into one batch')
     p.add_argument('--warmup_sizes', type=str, default='',
                    help="comma-separated square LR sizes to precompile at "
                         "startup, e.g. '64,128'")
@@ -112,6 +125,105 @@ def bucket_crop(sr_image, orig_size, scale: int = 4):
 
 
 # ---------------------------------------------------------------------------
+# Request coalescing
+# ---------------------------------------------------------------------------
+
+class _Request:
+    def __init__(self, cond, label):
+        self.cond = cond            # (1, H, W, C) float32 in [0, 1]
+        self.label = label
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class BatchingQueue:
+    """Coalesce same-geometry requests into one batched tiled sample.
+
+    A single worker thread drains the queue: it takes the oldest request,
+    waits up to ``window`` seconds for more requests with the SAME canvas
+    shape (bucketing makes collisions common), stacks up to ``max_images``
+    of them, and runs ``sample_batch(cond (B,H,W,C), labels (B,)|None)``
+    once. Tiles from all canvases pool into the tile minibatch, so small
+    images stop underfilling the chip.
+    """
+
+    def __init__(self, sample_batch, window: float, max_images: int):
+        import queue
+        self.sample_batch = sample_batch
+        self.window = window
+        self.max_images = max_images
+        self.q = queue.Queue()
+        self.stats = {'batches': 0, 'batched_images': 0}
+        self._stash = None          # first non-matching request, next head
+        self.stop = threading.Event()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def submit(self, cond, label):
+        """Blocks until the coalesced batch containing this request ran;
+        returns (H, W, C) output or raises the batch's error."""
+        req = _Request(cond, label)
+        self.q.put(req)
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def shutdown(self):
+        self.stop.set()
+        self.q.put(None)            # wake the worker
+        self.thread.join(timeout=10)
+
+    def _collect(self, head):
+        import queue
+        group = [head]
+        deadline = time.time() + self.window
+        while len(group) < self.max_images:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                req = self.q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                break
+            if (req.cond.shape == head.cond.shape
+                    and (req.label is None) == (head.label is None)):
+                group.append(req)
+            else:   # different geometry/label-kind -> next group's head
+                self._stash = req
+                break
+        return group
+
+    def _worker(self):
+        while not self.stop.is_set():
+            if self._stash is not None:
+                head, self._stash = self._stash, None
+            else:
+                head = self.q.get()
+            if head is None:
+                continue
+            group = self._collect(head)
+            try:
+                conds = np.concatenate([r.cond for r in group], axis=0)
+                labels = (None if group[0].label is None
+                          else np.asarray([r.label for r in group], np.int32))
+                outs = self.sample_batch(conds, labels)
+                for i, r in enumerate(group):
+                    r.result = outs[i]
+            except Exception as e:
+                for r in group:
+                    r.error = e
+            finally:
+                self.stats['batches'] += 1
+                self.stats['batched_images'] += len(group)
+                for r in group:
+                    r.done.set()
+
+
+# ---------------------------------------------------------------------------
 # Server core
 # ---------------------------------------------------------------------------
 
@@ -128,6 +240,11 @@ class Server:
         self.sampler = SamplerCache(wrapper, params, opts, mesh=mesh)
         self.lock = threading.Lock()       # one sample in flight at a time
         self.stop = threading.Event()
+        self.batcher = None
+        if args.coalesce_window > 0:
+            self.batcher = BatchingQueue(self._sample_batch,
+                                         args.coalesce_window,
+                                         args.max_batch_images)
         self.stats = {'served': 0, 'errors': 0, 'mpix': 0.0,
                       'sample_seconds': 0.0, 'started': time.time()}
         self.model_info = {
@@ -137,20 +254,40 @@ class Server:
         }
 
     # -- one request -------------------------------------------------------
-    def super_resolve(self, image, seed=None, test_label=None):
-        """PIL image in -> 4x PIL image out (bucketed geometry)."""
-        from srgd_tpu.infer import sr_target_image
-        padded, orig = bucket_pad(image, self.args.lr_bucket)
+    def _sample_batch(self, conds, labels):
+        """(B, H, W, C) [0,1] -> (B, 4H, 4W, C); the BatchingQueue worker's
+        sampling callback. Coalesced batches share one noise stream keyed on
+        the server seed."""
         with self.lock:
-            t0 = time.time()   # after the lock: sample time, not queue wait
-            sr = sr_target_image(
-                padded, self.sampler,
-                test_label=self.args.test_label if test_label is None
-                else test_label,
-                interpolation=self.args.interpolation,
-                seed=self.args.seed if seed is None else seed)
-            dt = time.time() - t0
-        sr = bucket_crop(sr, orig)
+            return self.sampler.sample(conds, labels, self.args.seed)
+
+    def super_resolve(self, image, seed=None, test_label=None):
+        """PIL image in -> 4x PIL image out (bucketed geometry).
+
+        Requests without an explicit seed may be coalesced with concurrent
+        same-geometry requests (--coalesce_window); an explicit seed always
+        runs alone so per-request determinism holds (the reference's
+        re-seed-per-image contract, inference.py:81)."""
+        from PIL import Image
+        from srgd_tpu.infer import upscale_bicubic
+        label = self.args.test_label if test_label is None else test_label
+        padded, orig = bucket_pad(image, self.args.lr_bucket)
+        upscaled = upscale_bicubic(padded, 4, self.args.interpolation)
+        cond = np.asarray(upscaled, dtype=np.float32)[None] / 255.0
+
+        t0 = time.time()
+        if self.batcher is not None and seed is None:
+            out = self.batcher.submit(cond, label)
+        else:
+            with self.lock:
+                out = self.sampler.sample(
+                    cond, label,
+                    self.args.seed if seed is None else seed)[0]
+        dt = time.time() - t0
+
+        arr = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+        sr = bucket_crop(Image.fromarray(arr), orig)
+        assert sr.size == (orig[0] * 4, orig[1] * 4)
         self.stats['served'] += 1
         self.stats['mpix'] += sr.size[0] * sr.size[1] / 1e6
         self.stats['sample_seconds'] += dt
@@ -233,6 +370,8 @@ class Server:
                 elif path == '/stats':
                     s = dict(server.stats)
                     s['uptime_seconds'] = time.time() - s.pop('started')
+                    if server.batcher is not None:
+                        s.update(server.batcher.stats)
                     self._json(200, s)
                 else:
                     self._json(404, {'error': 'not found'})
@@ -304,6 +443,8 @@ def main(argv=None):
 
     if httpd is not None:
         httpd.shutdown()
+    if server.batcher is not None:
+        server.batcher.shutdown()
     logger.info('served %d images, %d errors', server.stats['served'],
                 server.stats['errors'])
 

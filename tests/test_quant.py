@@ -141,6 +141,41 @@ def test_calibration_times_cover_each_family(model):
     assert np.all(np.isfinite(np.asarray(times, np.float32)))
 
 
+def test_sharded_quantized_sampler_matches_single_device():
+    """Tile-data-parallel quantized sampling must track single-device.
+
+    The dynamic per-tensor amax is a GLOBAL reduce under GSPMD (max is
+    order-exact; a per-shard max would change every scale and wreck this
+    entirely), but int8 rounding is discontinuous: GSPMD's float
+    reduction-order drift in the surrounding norm math flips occasional
+    round decisions by one level, which cascades. So the contract is
+    statistical — overwhelmingly identical pixels, tightly bounded energy —
+    not elementwise closeness (measured ~35 dB / ~6% pixels off by >1e-3 on
+    random dim-8 weights; a per-shard amax bug lands below 15 dB)."""
+    from srgd_tpu.parallel.mesh import canvas_sharding, make_mesh, replicated
+
+    conf = _tiny_conf(unet_dim=8)
+    qnet, params = _init_net(conf)
+    wrapper = build_wrapper(conf, qnet)
+    rng = jax.random.PRNGKey(5)
+    cond = jax.random.uniform(jax.random.PRNGKey(6), (1, 56, 56, 3))
+    label = jnp.asarray([1])
+
+    fn = lambda p, c: wrapper.tiled_sample(p, rng, c, label, tile_size=16,
+                                           batch_size=8, num_sample_steps=2)
+    want = np.asarray(jax.jit(fn)(params, cond))
+
+    mesh = make_mesh((8, 1))
+    with mesh:
+        got = np.asarray(jax.jit(fn)(
+            jax.device_put(params, replicated(mesh)),
+            jax.device_put(cond, canvas_sharding(mesh))))
+    d = got - want
+    psnr = -10 * np.log10(max(float(np.mean(d * d)), 1e-20))
+    assert psnr > 25.0, psnr
+    assert float(np.mean(np.abs(d) > 1e-3)) < 0.20
+
+
 def test_quantized_tiled_sample_end_to_end():
     """Calibrated quantized tiled sampling runs and host-loop matches scan."""
     conf = _tiny_conf(unet_dim=8)

@@ -4,17 +4,18 @@ Tiny flagship-structure model, 2 sample steps, 16px tiles; covers geometry
 bucketing, the idempotent watch pass, and the HTTP front-end contract.
 """
 
-import argparse
 import http.client
 import io
 import json
 import threading
+import time
 
 import numpy as np
 import pytest
 from PIL import Image
 
-from srgd_tpu.serve import Server, bucket_crop, bucket_pad, parse_args
+from srgd_tpu.serve import (
+    BatchingQueue, Server, bucket_crop, bucket_pad, parse_args)
 
 
 def test_bucket_pad_and_crop_roundtrip():
@@ -37,6 +38,56 @@ def test_bucket_pad_noop_when_aligned():
     assert padded is img and orig == (16, 16)
     padded, orig = bucket_pad(img, 0)
     assert padded is img
+
+
+def test_batching_queue_coalesces_same_geometry():
+    calls = []
+
+    def fake_sample(conds, labels):
+        calls.append((conds.shape, None if labels is None else list(labels)))
+        time.sleep(0.05)
+        return np.repeat(conds, 4, axis=1).repeat(4, axis=2)
+
+    bq = BatchingQueue(fake_sample, window=0.4, max_images=4)
+    try:
+        conds = [np.full((1, 8, 8, 3), i, np.float32) for i in range(3)]
+        outs = [None] * 3
+
+        def go(i):
+            outs[i] = bq.submit(conds[i], i)
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        # every request got ITS OWN canvas back, 4x upscaled
+        for i in range(3):
+            assert outs[i].shape == (32, 32, 3)
+            np.testing.assert_array_equal(outs[i], np.full((32, 32, 3), i))
+        assert bq.stats['batched_images'] == 3
+        # concurrent submits coalesce into fewer batches than requests
+        assert bq.stats['batches'] < 3
+
+        # a different geometry never mixes into the same batch
+        out = bq.submit(np.zeros((1, 16, 16, 3), np.float32), None)
+        assert out.shape == (64, 64, 3)
+        for shape, labels in calls:
+            assert shape[1:] in ((8, 8, 3), (16, 16, 3))
+    finally:
+        bq.shutdown()
+
+
+def test_batching_queue_propagates_errors():
+    def boom(conds, labels):
+        raise RuntimeError('chip on fire')
+
+    bq = BatchingQueue(boom, window=0.05, max_images=4)
+    try:
+        with pytest.raises(RuntimeError, match='chip on fire'):
+            bq.submit(np.zeros((1, 8, 8, 3), np.float32), None)
+    finally:
+        bq.shutdown()
 
 
 @pytest.fixture(scope='module')
@@ -80,6 +131,36 @@ def test_watch_pass_processes_and_skips(server):
         server.root / 'in' / 'c.png')
     assert server.process_dir_once() == 1
     assert server.stats['served'] == 3
+
+
+def test_coalesced_super_resolve_end_to_end(server):
+    """Two concurrent seedless requests batch into ONE sampler call and both
+    get correct 4x outputs (tiles of both canvases pooled)."""
+    server.batcher = BatchingQueue(server._sample_batch, window=1.0,
+                                   max_images=4)
+    try:
+        imgs = [Image.fromarray((np.random.RandomState(i).rand(8, 8, 3) * 255)
+                                .astype(np.uint8)) for i in range(2)]
+        outs = [None, None]
+
+        def go(i):
+            outs[i] = server.super_resolve(imgs[i], test_label=i)
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert outs[0].size == (32, 32) and outs[1].size == (32, 32)
+        assert server.batcher.stats['batched_images'] == 2
+        assert server.batcher.stats['batches'] == 1
+        # explicit seed bypasses the batcher (deterministic path)
+        direct = server.super_resolve(imgs[0], seed=5, test_label=0)
+        assert direct.size == (32, 32)
+        assert server.batcher.stats['batched_images'] == 2
+    finally:
+        server.batcher.shutdown()
+        server.batcher = None
 
 
 def test_http_endpoints(server):
