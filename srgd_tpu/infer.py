@@ -58,6 +58,11 @@ def parse_args(argv=None):
                    help='int8: bf16 compute with W8A8 int8-MXU U-Net convs, '
                         'dynamic activation scales (quality evidence: '
                         'docs/PERF.md)')
+    p.add_argument('--quantize_min_channels', type=int, default=256,
+                   help='with --precision int8: only quantize U-Net blocks '
+                        'this wide or wider. 256 (default) = deep stages '
+                        'only, bf16-class output quality; 0 = every stage, '
+                        'fastest but measurably lossier (docs/PERF.md)')
     p.add_argument('--quant_calibrate', action='store_true',
                    help='with --precision int8: record static activation '
                         'scales once (PTQ calibration) instead of per-call '
@@ -224,6 +229,7 @@ def build_model_and_opts(args):
                           'int8': 'bfloat16'}[args.precision]
     if args.precision == 'int8':
         conf.quantize = 'w8a8'
+        conf.quantize_min_channels = getattr(args, 'quantize_min_channels', 256)
     conf.tile_size = args.tile_size
     conf.use_pallas_kernels = getattr(args, 'use_pallas', False)
 

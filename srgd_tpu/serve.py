@@ -91,6 +91,7 @@ def parse_args(argv=None):
                    choices=['host', 'scan'])
     p.add_argument('--precision', type=str, default='bf16',
                    choices=['fp32', 'bf16', 'int8'])
+    p.add_argument('--quantize_min_channels', type=int, default=256)
     p.add_argument('--quant_calibrate', action='store_true')
     p.add_argument('--mesh', type=str, default='')
     return p.parse_args(argv)
@@ -171,9 +172,23 @@ class BatchingQueue:
         return req.result
 
     def shutdown(self):
+        import queue
         self.stop.set()
         self.q.put(None)            # wake the worker
         self.thread.join(timeout=10)
+        # fail anything still waiting so submitters never hang
+        leftovers, self._stash = (
+            [] if self._stash is None else [self._stash]), None
+        while True:
+            try:
+                r = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                leftovers.append(r)
+        for r in leftovers:
+            r.error = RuntimeError('server shutting down')
+            r.done.set()
 
     def _collect(self, head):
         import queue
