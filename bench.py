@@ -58,9 +58,13 @@ def main():
 
     timer = PhaseTimer()
 
-    quant = os.environ.get('BENCH_QUANT', 'w8a8')
+    # int8 rides on bf16 compute; a float32 run must really be float32
+    quant = os.environ.get('BENCH_QUANT',
+                           'w8a8' if dtype == 'bfloat16' else 'none')
     if quant == 'none':
         quant = ''
+    assert not (quant and dtype != 'bfloat16'), \
+        'BENCH_QUANT requires BENCH_DTYPE=bfloat16'
     quant_min_ch = int(os.environ.get('BENCH_QUANT_MIN_CH', 256))
     conf = ge._flagship_conf()
     conf.compute_dtype = dtype

@@ -54,8 +54,10 @@ class ElucidatedDiffusion:
     # ------------------------------------------------------------------
     def calibration_times(self, params, n: int = 6):
         """Representative net time inputs (c_noise over the Karras sigma
-        range) for W8A8 PTQ calibration (nn/quant.py)."""
-        sig = self.edm.sample_schedule(max(n - 1, 2))[:-1]  # drop trailing 0
+        range) for W8A8 PTQ calibration (nn/quant.py). Returns n values
+        like the other families (sample_schedule(n) yields n sigmas plus a
+        trailing 0, which is not a valid c_noise input)."""
+        sig = self.edm.sample_schedule(max(n, 2))[:-1]  # drop trailing 0
         return self.edm.c_noise(jnp.asarray(sig))
 
     def net_apply(self, params, x, time_b, cond, class_label, class_mask):

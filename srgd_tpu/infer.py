@@ -144,7 +144,8 @@ class SamplerCache:
             # per-step jit caching happens inside the wrapper
             jitted = (lambda p, r, c: fn(p, r, c, host_loop=True)) if label is None                 else (lambda p, r, c, l: fn(p, r, c, l, host_loop=True))
         else:
-            key = (cond_np.shape, o['num_sample_steps'])
+            # label presence changes the jitted fn's arity — key on it
+            key = (cond_np.shape, o['num_sample_steps'], label is None)
             if key not in self._cache:
                 if label is None:
                     self._cache[key] = jax.jit(lambda p, r, c: fn(p, r, c))
@@ -186,20 +187,33 @@ def sr_target_image(image, sampler: SamplerCache, scale: int = 4,
     return sr_img
 
 
+def pending_outputs(input_dir, output_dir, start_index=0, end_index=None,
+                    verbose_skip=False):
+    """Yield (input_path, output_path) for inputs whose output doesn't exist
+    yet — the reference's sorted-glob + skip-existing + '.png'->'_out.png'
+    rename semantics (inference.py:120-127), shared by the batch CLI and the
+    serving daemon's watch front-end. ``verbose_skip`` reproduces the
+    reference's 'skip' print (noise the polling daemon doesn't want)."""
+    for filename in sorted(glob.glob(f'{input_dir}/*'))[start_index:end_index]:
+        save_filename = os.path.basename(filename).replace('.png', '_out.png')
+        save_path = os.path.join(output_dir, save_filename)
+        if os.path.exists(save_path):
+            if verbose_skip:
+                print('skip')
+            continue
+        yield filename, save_path
+
+
 def batch_sr_target_images(input_dir, output_dir, sampler: SamplerCache,
                            scale=4, test_label=None, start_index=0,
                            end_index=None, interpolation='bicubic', seed=71):
     """Parity: inference.py:108-142 (sorted glob, skip-existing, rename quirk)."""
     print(f'save images at: {output_dir}')
     os.makedirs(output_dir, exist_ok=True)
-    image_list = sorted(glob.glob(f'{input_dir}/*'))[start_index:end_index]
 
-    for filename in image_list:
-        save_filename = os.path.basename(filename).replace('.png', '_out.png')
-        save_path = os.path.join(output_dir, save_filename)
-        if os.path.exists(save_path):
-            print('skip')
-            continue
+    for filename, save_path in pending_outputs(input_dir, output_dir,
+                                               start_index, end_index,
+                                               verbose_skip=True):
         image = try_open_image(filename)
         if image is None:
             print('Invalid image or unable to open image:', filename)

@@ -155,6 +155,12 @@ def calibrate_sampler(wrapper, params, rng, *, tile_size=256, batch=4,
             if has_classes:
                 kw['class_label'] = label
             calls.append(((x, t_b), kw))
+        if has_classes:
+            # class-CFG null branch: the class embedding is zeroed via
+            # class_mask (unet.py), which shifts activation ranges too
+            calls.append(((x, t_b), dict(
+                cond=cond, class_label=label,
+                class_mask=jnp.zeros((batch,), jnp.float32))))
 
     # strip non-net collections the wrappers add (learned log-SNR subtree)
     net_vars = {k: v for k, v in params.items() if k != 'log_snr'} \

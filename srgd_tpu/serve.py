@@ -164,6 +164,8 @@ class BatchingQueue:
     def submit(self, cond, label):
         """Blocks until the coalesced batch containing this request ran;
         returns (H, W, C) output or raises the batch's error."""
+        if self.stop.is_set():
+            raise RuntimeError('server shutting down')
         req = _Request(cond, label)
         self.q.put(req)
         req.done.wait()
@@ -172,11 +174,17 @@ class BatchingQueue:
         return req.result
 
     def shutdown(self):
-        import queue
         self.stop.set()
         self.q.put(None)            # wake the worker
-        self.thread.join(timeout=10)
-        # fail anything still waiting so submitters never hang
+        # the worker finishes its in-flight batch, then fails the leftovers
+        # (it owns _stash, so only it can drain race-free); samples can take
+        # minutes, so wait generously before the backstop drain
+        self.thread.join(timeout=600)
+        self._fail_pending()
+
+    def _fail_pending(self):
+        """Fail every queued request so submitters never hang."""
+        import queue
         leftovers, self._stash = (
             [] if self._stash is None else [self._stash]), None
         while True:
@@ -220,6 +228,9 @@ class BatchingQueue:
                 head = self.q.get()
             if head is None:
                 continue
+            if self.stop.is_set():
+                self._stash = head   # _fail_pending picks it up
+                break
             group = self._collect(head)
             try:
                 conds = np.concatenate([r.cond for r in group], axis=0)
@@ -262,11 +273,17 @@ class Server:
                                          args.max_batch_images)
         self.stats = {'served': 0, 'errors': 0, 'mpix': 0.0,
                       'sample_seconds': 0.0, 'started': time.time()}
+        self.stats_lock = threading.Lock()   # counters are touched from the
+        self.failed_inputs = set()           # watch, http, and batch threads
         self.model_info = {
             'model': opts.get('model', ''), 'num_sample_steps':
                 args.num_sample_steps, 'precision': args.precision,
             'tile_size': args.tile_size, 'lr_bucket': args.lr_bucket,
         }
+
+    def bump_error(self):
+        with self.stats_lock:
+            self.stats['errors'] += 1
 
     # -- one request -------------------------------------------------------
     def _sample_batch(self, conds, labels):
@@ -303,43 +320,55 @@ class Server:
         arr = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
         sr = bucket_crop(Image.fromarray(arr), orig)
         assert sr.size == (orig[0] * 4, orig[1] * 4)
-        self.stats['served'] += 1
-        self.stats['mpix'] += sr.size[0] * sr.size[1] / 1e6
-        self.stats['sample_seconds'] += dt
+        with self.stats_lock:
+            self.stats['served'] += 1
+            self.stats['mpix'] += sr.size[0] * sr.size[1] / 1e6
+            self.stats['sample_seconds'] += dt
         return sr
 
     def warmup(self):
         sizes = [int(s) for s in self.args.warmup_sizes.split(',') if s]
+        before = dict(self.stats)
         for s in sizes:
             from PIL import Image
             logger.info('warmup: compiling %dpx geometry', s)
             img = Image.fromarray(
                 np.zeros((s, s, 3), np.uint8))
             self.super_resolve(img, seed=0)
-            self.stats['served'] -= 1  # warmups are not traffic
+        # warmups (compile-dominated) are not traffic: restore every counter
+        with self.stats_lock:
+            self.stats.update(before)
 
     # -- watch front-end ---------------------------------------------------
     def process_dir_once(self):
         """One pass over input_dir; returns the number of images produced.
-        Same rename/skip/unreadable semantics as the batch CLI
-        (reference inference.py:108-142)."""
-        import glob
-        from srgd_tpu.infer import try_open_image
+        Same rename/skip/unreadable semantics as the batch CLI (shared
+        pending_outputs helper). A file that keeps failing is quarantined in
+        ``failed_inputs`` so it cannot starve alphabetically-later files on
+        every poll."""
+        from srgd_tpu.infer import pending_outputs, try_open_image
         a = self.args
         os.makedirs(a.output_dir, exist_ok=True)
         done = 0
-        for filename in sorted(glob.glob(f'{a.input_dir}/*')):
-            name = os.path.basename(filename).replace('.png', '_out.png')
-            save_path = os.path.join(a.output_dir, name)
-            if os.path.exists(save_path):
+        for filename, save_path in pending_outputs(a.input_dir, a.output_dir):
+            if filename in self.failed_inputs:
                 continue
             image = try_open_image(filename)
             if image is None:
                 logger.warning('unreadable input skipped: %s', filename)
+                self.failed_inputs.add(filename)
                 continue
-            t0 = time.time()
-            sr = self.super_resolve(image)
-            sr.save(save_path)
+            try:
+                t0 = time.time()
+                sr = self.super_resolve(image)
+                sr.save(save_path)
+            except Exception:
+                with self.stats_lock:
+                    self.stats['errors'] += 1
+                self.failed_inputs.add(filename)
+                logger.exception('failed to process %s (quarantined)',
+                                 filename)
+                continue
             done += 1
             logger.info('%s -> %s (%.2fs)', filename, save_path,
                         time.time() - t0)
@@ -354,7 +383,7 @@ class Server:
             try:
                 self.process_dir_once()
             except Exception:
-                self.stats['errors'] += 1
+                self.bump_error()
                 logger.exception('watch pass failed')
             self.stop.wait(self.args.poll_interval)
 
@@ -403,7 +432,7 @@ class Server:
                     img = Image.open(io.BytesIO(self.rfile.read(n)))
                     img = img.convert('RGB')
                 except Exception as e:
-                    server.stats['errors'] += 1
+                    server.bump_error()
                     self._json(400, {'error': f'bad image: {e}'})
                     return
                 try:
@@ -419,7 +448,7 @@ class Server:
                     self.end_headers()
                     self.wfile.write(body)
                 except Exception as e:
-                    server.stats['errors'] += 1
+                    server.bump_error()
                     logger.exception('sr request failed')
                     self._json(500, {'error': str(e)})
 
