@@ -17,6 +17,9 @@ from srgd_tpu.nn.unet import build_unet_from_config
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLAGSHIP_YAML = os.path.join(
     REPO, 'conf', 'conditional_continuous_linear_df8kost_dim128.yaml')
+SERVING_YAML = os.path.join(
+    REPO, 'conf',
+    'conditional_continuous_linear_df8kost_dim128_tpu_serving.yaml')
 
 
 def test_flagship_yaml_loads():
@@ -55,3 +58,29 @@ def test_flagship_yaml_builds_shipped_wrapper():
     n_params = sum(int(jnp.prod(jnp.array(a.shape)))
                    for a in jax.tree.leaves(shapes))
     assert 130e6 < n_params < 145e6, n_params
+
+
+def test_tpu_serving_yaml_same_model_different_execution():
+    """The serving profile must load the SAME checkpoint (identical model
+    keys and parameter tree) and differ only in TPU execution knobs."""
+    base = load_config(FLAGSHIP_YAML)
+    srv = load_config(SERVING_YAML)
+    for key in ('model', 'noise_schedule', 'num_sample_steps', 'unet_dim',
+                'ddpm_unet_dim_mults', 'learned_sinusoidal_cond',
+                'learned_sinusoidal_dim', 'image_size', 'num_classes'):
+        assert getattr(base, key) == getattr(srv, key), key
+    assert srv.compute_dtype == 'bfloat16'
+    assert srv.quantize == 'w8a8' and srv.quantize_min_channels == 256
+
+    net_b = build_unet_from_config(base)
+    net_s = build_unet_from_config(srv)
+    args = (jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)))
+    kw = dict(cond=jnp.zeros((1, 32, 32, 3)),
+              class_label=jnp.zeros((1,), jnp.int32))
+    sb = jax.eval_shape(lambda k: net_b.init(k, *args, **kw),
+                        jax.random.PRNGKey(0))
+    ss = jax.eval_shape(lambda k: net_s.init(k, *args, **kw),
+                        jax.random.PRNGKey(0))
+    assert jax.tree.structure(sb) == jax.tree.structure(ss)
+    assert [a.shape for a in jax.tree.leaves(sb)] == \
+        [a.shape for a in jax.tree.leaves(ss)]
