@@ -80,14 +80,23 @@ class SRUnet(nn.Module):
     def _quant(self, width: int) -> Optional[str]:
         return self.quant if width >= self.quant_min_channels else None
 
+    def _block_cls(self, cls):
+        # remat: recompute block-internal activations in backward instead of
+        # saving them — the conv/GN intermediates inside ResnetBlock and the
+        # attention tensors dominate training HBM at 256px. nn.remat keeps
+        # module names, so checkpoints are unaffected.
+        return nn.remat(cls) if self.remat else cls
+
     def _attn(self, dim, is_full, name):
         if is_full:
-            return Attention(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
-                             dtype=self.dtype, quant=self._quant(dim),
-                             use_pallas=self.use_pallas_attention, name=name)
-        return LinearAttention(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
-                               dtype=self.dtype, use_pallas=self.use_pallas,
-                               quant=self._quant(dim), name=name)
+            cls = self._block_cls(Attention)
+            return cls(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
+                       dtype=self.dtype, quant=self._quant(dim),
+                       use_pallas=self.use_pallas_attention, name=name)
+        cls = self._block_cls(LinearAttention)
+        return cls(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
+                   dtype=self.dtype, use_pallas=self.use_pallas,
+                   quant=self._quant(dim), name=name)
 
     @nn.compact
     def __call__(self, x, time, cond=None, class_label=None, class_mask=None):
@@ -129,7 +138,7 @@ class SRUnet(nn.Module):
                 c = c * class_mask[:, None].astype(c.dtype)
             t = t + c
 
-        block = lambda d_in, d_out, name: ResnetBlock(
+        block = lambda d_in, d_out, name: self._block_cls(ResnetBlock)(
             d_in, d_out, time_emb_dim=time_dim, groups=groups, dtype=self.dtype,
             use_pallas=self.use_pallas, quant=self._quant(min(d_in, d_out)),
             name=name)
@@ -177,9 +186,10 @@ class SRUnet(nn.Module):
                           quant=self._quant(d_out), name=f'ups_{i}_3')(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(dim * 2, dim, time_emb_dim=time_dim, groups=groups,
-                        dtype=self.dtype, use_pallas=self.use_pallas,
-                        quant=self._quant(dim), name='final_res_block')(x, t)
+        x = self._block_cls(ResnetBlock)(
+            dim * 2, dim, time_emb_dim=time_dim, groups=groups,
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            quant=self._quant(dim), name='final_res_block')(x, t)
 
         out_dim = self.out_dim or self.channels * (2 if self.learned_variance else 1)
         x = nn.Conv(out_dim, (1, 1), dtype=self.dtype, name='final_conv')(x)
