@@ -112,8 +112,9 @@ class Config:
 
     seed: int = 71
 
-    amp: bool = False
-    amp_dtype: str = 'float16'
+    amp: bool = False            # accepted for compat; the reference's shipped
+    amp_dtype: str = 'float16'   # sampler never autocasts (model.py:3288-3293)
+                                 # — TPU precision is compute_dtype/quantize
 
     # U-Net
     unet_dim: int = 64
@@ -126,7 +127,8 @@ class Config:
     ema_decay: float = 0.995
     ema_device: str = 'cuda'  # accepted for YAML compat; ignored
 
-    flash_attn: bool = False
+    flash_attn: bool = False  # fused-attention toggle (reference Attend
+                              # flash kernel) -> Pallas flash attention here
 
     ckpt_path: str = ''
     load_strict: bool = True
@@ -207,8 +209,8 @@ class Config:
     mesh_shape: str = ''              # e.g. '4,2' -> (data, model); '' = all-data
     remat_unet: bool = False          # jax.checkpoint the U-Net stages (training)
     tile_size: int = 256
-    tile_stride: int = 256
-    capture_trajectory: bool = False  # with_images analogue for samplers
+    tile_stride: int = 0              # 0 = tile_size (the only reference-
+                                      # reachable value; others raise)
     lpips_weights_path: str = ''      # converted VGG16+LPIPS .npz for
                                       # test_target: best_lpips (utils/lpips.py)
 

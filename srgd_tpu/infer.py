@@ -134,6 +134,7 @@ class SamplerCache:
         o = self.opts
         fn = partial(self.wrapper.tiled_sample,
                      batch_size=o['batch_size'], tile_size=o['tile_size'],
+                     tile_stride=o.get('tile_stride'),
                      cond_scale=o['cond_scale'],
                      guidance_start_steps=o['guidance_start_steps'],
                      class_cond_scale=o['class_cond_scale'],
@@ -263,6 +264,7 @@ def build_model_and_opts(args):
 
     opts = dict(exec_mode=args.exec_mode,
                 batch_size=args.batch_size, tile_size=args.tile_size,
+                tile_stride=conf.tile_stride or None,  # None = tile_size
                 cond_scale=args.cond_scale,
                 guidance_start_steps=args.guidance_start_steps,
                 class_cond_scale=args.class_cond_scale,

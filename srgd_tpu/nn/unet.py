@@ -217,6 +217,9 @@ def build_unet_from_config(conf, dtype=None) -> SRUnet:
         num_classes=conf.num_classes if is_conditional else None,
         dtype=dtype,
         use_pallas=conf.use_pallas_kernels,
+        # flash_attn toggles the reference's fused-attention kernel
+        # (config.py:117, Attend(flash=...)); ours is the Pallas kernel
+        use_pallas_attention=conf.flash_attn,
         remat=conf.remat_unet,
         quant=None if conf.quantize == 'none' else conf.quantize,
         quant_min_channels=conf.quantize_min_channels,

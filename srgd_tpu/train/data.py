@@ -405,10 +405,14 @@ class DegradationDataset:
                  seed: int = 0, num_workers: int = 4,
                  quality_lower: int = 50, quality_upper: int = 95,
                  degrade_cfg: Optional[DegradeConfig] = None,
-                 preprocess: str = 'randomcrop', scale_size: int = 0):
+                 preprocess: str = 'randomcrop', scale_size: int = 0,
+                 shuffle: bool = True):
         self.files = list_images(root)
         if not self.files:
             raise FileNotFoundError(f'no images under {root}')
+        self.shuffle = shuffle
+        self._cursor = 0                       # sequential order when not
+        self._cursor_lock = threading.Lock()   # shuffling (conf.shuffle)
         self.crop_size = crop_size
         self.batch_size = batch_size
         self.num_classes = num_classes
@@ -428,7 +432,13 @@ class DegradationDataset:
 
     def _sample(self, rng: np.random.Generator):
         from PIL import Image
-        path = self.files[int(rng.integers(0, len(self.files)))]
+        if self.shuffle:
+            idx = int(rng.integers(0, len(self.files)))
+        else:
+            with self._cursor_lock:
+                idx, self._cursor = self._cursor, self._cursor + 1
+            idx %= len(self.files)
+        path = self.files[idx]
         img = np.asarray(Image.open(path).convert('RGB'))
         hr = _augment(preprocess_crop(img, self.crop_size, self.preprocess,
                                       rng, self.scale_size), rng,

@@ -111,6 +111,9 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
     net = build_unet_from_config(conf)
     wrapper = build_wrapper(conf, net)
 
+    if conf.print_freq:          # reference config.py:188
+        log_every = conf.print_freq
+
     # checkpoint-selection policy (reference config.py:181)
     target = conf.test_target
     if target not in ('best_loss', 'best_psnr', 'best_ssim', 'best_lpips'):
@@ -123,7 +126,8 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
         num_classes=conf.num_classes, hflip=conf.hflip, rotate=conf.rotate,
         seed=conf.seed, num_workers=conf.num_workers,
         degrade_cfg=DegradeConfig.from_conf(conf),
-        preprocess=conf.train_preprocess, scale_size=conf.scale_size)
+        preprocess=conf.train_preprocess, scale_size=conf.scale_size,
+        shuffle=conf.shuffle)
 
     rng = jax.random.PRNGKey(conf.seed)
     kwargs = {'class_label': jnp.zeros((1,), jnp.int32)} if conditional else {}
@@ -148,7 +152,9 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
     if conf.save_every_epoch:  # checkpoint policy knob (config.py:179)
         save_every = steps_per_epoch
 
-    ckpt_dir = os.path.join(out_dir, 'ckpt')
+    # checkpoint naming from config (reference artifact layout:
+    # {model_dir}/{save_dir}/{prefix}_... , config.py:7-8, 186)
+    ckpt_dir = os.path.join(out_dir, conf.prefix or 'ckpt')
     best_score = -float(np.inf)
     if resume and os.path.isdir(ckpt_dir):
         raw = restore_params(ckpt_dir)
@@ -227,7 +233,8 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
                              'best_lpips': -m.get('lpips', np.inf)}[target]
                 if score is not None and score > best_score:
                     best_score = score
-                    save_state(os.path.join(out_dir, f'ckpt_{target}'), step)
+                    save_state(os.path.join(
+                        out_dir, f'{conf.prefix or "ckpt"}_{target}'), step)
     logger.info('phase breakdown:\n%s', timer.report())
     return state
 
@@ -238,7 +245,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('-c', '--conf', required=True)
     p.add_argument('--data_dir', required=True)
-    p.add_argument('--out_dir', required=True)
+    p.add_argument('--out_dir', default='',
+                   help='default: {conf.model_dir}/{conf.save_dir} '
+                        '(the reference artifact layout)')
     p.add_argument('--steps', type=int, default=1000)
     p.add_argument('--log_every', type=int, default=50)
     p.add_argument('--save_every', type=int, default=500)
@@ -248,8 +257,9 @@ def main(argv=None):
 
     from srgd_tpu.config import load_config
     conf = load_config(args.conf)
+    out_dir = args.out_dir or os.path.join(conf.model_dir, conf.save_dir)
     mesh_shape = tuple(int(x) for x in args.mesh.split(',')) if args.mesh else None
-    train(conf, args.data_dir, args.out_dir, total_steps=args.steps,
+    train(conf, args.data_dir, out_dir, total_steps=args.steps,
           log_every=args.log_every, save_every=args.save_every,
           mesh_shape=mesh_shape, val_dir=args.val_dir or None)
 

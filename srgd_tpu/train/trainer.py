@@ -70,16 +70,27 @@ def make_optimizer(conf: Config, steps_per_epoch: int = 1000):
     sched = _maybe_epoch_quantize(make_lr_schedule(conf, steps_per_epoch),
                                   conf, steps_per_epoch)
     if conf.optimizer == 'adamw':
-        tx = optax.adamw(sched, weight_decay=conf.weight_decay)
+        if conf.amsgrad:  # torch AdamW(amsgrad=True) semantics
+            tx = optax.chain(optax.scale_by_amsgrad(),
+                             optax.add_decayed_weights(conf.weight_decay),
+                             optax.scale_by_learning_rate(sched))
+        else:
+            tx = optax.adamw(sched, weight_decay=conf.weight_decay)
     elif conf.optimizer == 'adam':
-        tx = optax.adam(sched)
+        tx = (optax.amsgrad(sched) if conf.amsgrad else optax.adam(sched))
     elif conf.optimizer == 'sgd':
         tx = optax.sgd(sched, momentum=conf.momentum, nesterov=conf.nesterov)
     else:
         raise ValueError(f'unknown optimizer {conf.optimizer}')
     if conf.scheduler == 'ReduceLROnPlateau':
+        if conf.plateau_mode != 'min':
+            # the train step feeds value=loss (lower is better); 'max' would
+            # need a metric plumbed in instead — reject rather than ignore
+            raise ValueError(
+                f"plateau_mode {conf.plateau_mode!r} unsupported: the plateau "
+                "scheduler keys off the training loss ('min')")
         tx = optax.chain(tx, optax.contrib.reduce_on_plateau(
-            factor=0.1, patience=conf.patience, atol=conf.plateau_eps))
+            factor=conf.factor, patience=conf.patience, atol=conf.plateau_eps))
     return optax.with_extra_args_support(tx)
 
 

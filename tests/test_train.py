@@ -178,6 +178,82 @@ def test_reduce_on_plateau_optimizer():
     assert scale < 1.0
 
 
+def test_plateau_honors_factor_and_rejects_max_mode():
+    import optax
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.trainer import make_optimizer
+    conf = Config(scheduler='ReduceLROnPlateau', patience=1, lr=1e-2,
+                  factor=0.5)
+    opt = make_optimizer(conf, steps_per_epoch=1)
+    params = {'w': jnp.ones((3,))}
+    state = opt.init(params)
+    g = {'w': jnp.ones((3,))}
+    for _ in range(4):
+        updates, state = opt.update(g, state, params, value=jnp.float32(1.0))
+        params = optax.apply_updates(params, updates)
+    # conf.factor (0.5), not the old hardcoded 0.1: after k triggers the
+    # scale is 0.5**k (0.1**k would not be a power of 0.5)
+    import math
+    scale = float(state[-1].scale)
+    assert 0 < scale < 1.0
+    k = math.log(scale) / math.log(0.5)
+    assert abs(k - round(k)) < 1e-5, scale
+
+    conf.plateau_mode = 'max'
+    with pytest.raises(ValueError, match='plateau_mode'):
+        make_optimizer(conf, steps_per_epoch=1)
+
+
+def test_amsgrad_optimizers_step():
+    """conf.amsgrad builds a working AMSGrad variant for adam and adamw
+    (reference config.py:130; previously silently ignored)."""
+    import optax
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.trainer import make_optimizer
+    for name in ('adam', 'adamw'):
+        conf = Config(optimizer=name, amsgrad=True, lr=1e-2, epochs=1,
+                      warmup_epochs=0)
+        opt = make_optimizer(conf, steps_per_epoch=2)
+        params = {'w': jnp.ones((3,))}
+        state = opt.init(params)
+        updates, state = opt.update({'w': jnp.ones((3,))}, state, params,
+                                    value=jnp.float32(1.0))
+        params = optax.apply_updates(params, updates)
+        assert np.all(np.isfinite(np.asarray(params['w'])))
+        # amsgrad state carries the running max of nu
+        flat = jax.tree_util.tree_flatten_with_path(state)[0]
+        assert any('nu_max' in jax.tree_util.keystr(p) for p, _ in flat), name
+
+
+def test_flash_attn_maps_to_pallas_attention():
+    from srgd_tpu.config import Config
+    from srgd_tpu.nn.unet import build_unet_from_config
+    conf = Config(model='conditional_continuous', unet_dim=8,
+                  ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4)
+    assert build_unet_from_config(conf).use_pallas_attention is False
+    conf.flash_attn = True
+    assert build_unet_from_config(conf).use_pallas_attention is True
+
+
+def test_shuffle_false_iterates_sequentially(image_dir):
+    """conf.shuffle=False -> deterministic file order (one worker)."""
+    from srgd_tpu.train.data import DegradationDataset
+    ds = DegradationDataset(str(image_dir), crop_size=8, batch_size=2,
+                            num_workers=1, seed=0, shuffle=False)
+    # drive _sample directly: the cursor must walk files in order
+    rng = np.random.default_rng(0)
+    n = len(ds.files)
+    seen = []
+    orig = ds.files
+    for _ in range(n):
+        before = ds._cursor
+        ds._sample(rng)
+        seen.append(before % n)
+    assert seen == list(range(n))
+    assert ds.files == orig
+
+
 def test_preprocess_modes(image_dir):
     from srgd_tpu.train.data import preprocess_crop
     rng = np.random.default_rng(0)
@@ -227,7 +303,8 @@ def test_train_loop_end_to_end(image_dir, tmp_path):
     state = train(conf, str(image_dir), out_dir, total_steps=3,
                   log_every=1, save_every=2)
     assert int(state.step) == 3
-    assert os.path.isdir(os.path.join(out_dir, 'ckpt'))
+    # checkpoints are named from conf.prefix (reference artifact layout)
+    assert os.path.isdir(os.path.join(out_dir, conf.prefix))
 
     # resume continues from the saved step
     state2 = train(conf, str(image_dir), out_dir, total_steps=4,
