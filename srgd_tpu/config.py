@@ -211,6 +211,10 @@ class Config:
     tile_size: int = 256
     tile_stride: int = 0              # 0 = tile_size (the only reference-
                                       # reachable value; others raise)
+    continuous_sampler: str = 'ancestral'  # | 'ddim': deterministic eta=0
+                                      # updates for the continuous family —
+                                      # additive fast-sampling mode (the
+                                      # reference ships ancestral only)
     lpips_weights_path: str = ''      # converted VGG16+LPIPS .npz for
                                       # test_target: best_lpips (utils/lpips.py)
 

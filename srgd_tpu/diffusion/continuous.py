@@ -57,6 +57,10 @@ class ContinuousDiffusion:
     class_cond_drop_prob: float = 0.0
     loss_type: str = 'l2'
     learned_noise_schedule_frac_gradient: float = 1.0
+    sampler: str = 'ancestral'    # 'ancestral' (reference parity) | 'ddim'
+                                  # — deterministic eta=0 update, additive:
+                                  # the reference's continuous family ships
+                                  # ancestral-only (model.py:3174-3188)
 
     def __post_init__(self):
         self._jit_cache = {}
@@ -119,6 +123,17 @@ class ContinuousDiffusion:
                              class_label, mode, scale)
 
         x_start = (x - sigma * eps) / alpha
+        if self.sampler == 'ddim':
+            # deterministic eta=0 update: x_s = a_s x0 + s_s eps, with eps
+            # re-derived from the clipped x0 (the discrete family's
+            # clip+rederive semantics, model.py:1475-1487)
+            if self.clip_sample_denoised:
+                x_start = jnp.clip(x_start, -1.0, 1.0)
+                eps = (x - alpha * x_start) / sigma
+            next_x = (alpha_next * x_start
+                      + jnp.sqrt(sq_sigma_next) * eps)
+            return next_x, x_start
+
         if self.clip_sample_denoised:
             x_start = jnp.clip(x_start, -1.0, 1.0)
             mean = alpha_next * (x * (1.0 - c) / alpha + c * x_start)
@@ -334,7 +349,7 @@ class ContinuousDiffusion:
                          class_cond_scale, guidance_start_steps,
                          class_guidance_start_steps, tuple(chunks), tuple(n_chunks),
                          class_label is None, b, self.noise_schedule,
-                         self.clip_sample_denoised, capture_x0)
+                         self.clip_sample_denoised, capture_x0, self.sampler)
             state, frames = run_tiled_host_loop(
                 self._jit_cache, cache_key,
                 {0: lambda: make_parity_step(0), 1: lambda: make_parity_step(1)},

@@ -50,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument('--test_label', type=int, default=None)
     p.add_argument('--no_amp', dest='amp', action='store_false')
     p.add_argument('--no_dpmpp_solver', dest='use_dpmpp_solver', action='store_false')
+    p.add_argument('--continuous_sampler', type=str, default=None,
+                   choices=['ancestral', 'ddim'],
+                   help='continuous-family sampler (default: config; ddim = '
+                        'deterministic updates, usable at far fewer steps)')
     p.add_argument('--seed', type=int, default=71)
     p.add_argument('--backend', type=str, default='ddp')  # accepted, unused (parity)
     # TPU-native additions
@@ -247,6 +251,8 @@ def build_model_and_opts(args):
         conf.quantize_min_channels = getattr(args, 'quantize_min_channels', 256)
     conf.tile_size = args.tile_size
     conf.use_pallas_kernels = getattr(args, 'use_pallas', False)
+    if getattr(args, 'continuous_sampler', None):
+        conf.continuous_sampler = args.continuous_sampler
 
     import jax
     if getattr(args, 'matmul_precision', 'default') != 'default':
