@@ -342,14 +342,46 @@ class Server:
     # -- watch front-end ---------------------------------------------------
     def process_dir_once(self):
         """One pass over input_dir; returns the number of images produced.
+
         Same rename/skip/unreadable semantics as the batch CLI (shared
         pending_outputs helper). A file that keeps failing is quarantined in
         ``failed_inputs`` so it cannot starve alphabetically-later files on
-        every poll."""
+        every poll. Consecutive pending files that bucket to the same
+        geometry are sampled as ONE batched canvas (up to
+        --max_batch_images) — a folder of same-sized images gets the
+        coalescing throughput win with zero concurrency."""
         from srgd_tpu.infer import pending_outputs, try_open_image
         a = self.args
         os.makedirs(a.output_dir, exist_ok=True)
         done = 0
+
+        group = []          # [(filename, save_path, PIL image, bucket size)]
+
+        def flush_group():
+            nonlocal done
+            if not group:
+                return
+            batch, group[:] = group[:], []
+            t0 = time.time()
+            try:
+                srs = self._batched_super_resolve([g[2] for g in batch])
+            except Exception:
+                self.bump_error()
+                for g in batch:
+                    self.failed_inputs.add(g[0])
+                logger.exception('failed batch of %d (quarantined): %s',
+                                 len(batch), [g[0] for g in batch])
+                return
+            dt = time.time() - t0
+            with self.stats_lock:
+                self.stats['watch_batches'] = \
+                    self.stats.get('watch_batches', 0) + 1
+            for (fn, sp, _img, _key), sr in zip(batch, srs):
+                sr.save(sp)
+                done += 1
+                logger.info('%s -> %s (batch of %d, %.2fs)', fn, sp,
+                            len(batch), dt)
+
         for filename, save_path in pending_outputs(a.input_dir, a.output_dir):
             if filename in self.failed_inputs:
                 continue
@@ -358,23 +390,42 @@ class Server:
                 logger.warning('unreadable input skipped: %s', filename)
                 self.failed_inputs.add(filename)
                 continue
-            try:
-                t0 = time.time()
-                sr = self.super_resolve(image)
-                sr.save(save_path)
-            except Exception:
-                with self.stats_lock:
-                    self.stats['errors'] += 1
-                self.failed_inputs.add(filename)
-                logger.exception('failed to process %s (quarantined)',
-                                 filename)
-                continue
-            done += 1
-            logger.info('%s -> %s (%.2fs)', filename, save_path,
-                        time.time() - t0)
+            key = bucket_pad(image, a.lr_bucket)[0].size
+            if group and (key != group[-1][3]
+                          or len(group) >= max(a.max_batch_images, 1)):
+                flush_group()
+            group.append((filename, save_path, image, key))
             if self.stop.is_set():
                 break
+        flush_group()
         return done
+
+    def _batched_super_resolve(self, images):
+        """Same-bucketed-geometry PIL images -> list of 4x PIL images via
+        ONE batched tiled sample."""
+        from PIL import Image
+        from srgd_tpu.infer import upscale_bicubic
+        padded, origs = zip(*(bucket_pad(im, self.args.lr_bucket)
+                              for im in images))
+        conds = np.stack([
+            np.asarray(upscale_bicubic(p, 4, self.args.interpolation),
+                       np.float32) / 255.0 for p in padded])
+        label = self.args.test_label
+        labels = None if label is None else np.full(
+            (len(images),), label, np.int32)
+        t0 = time.time()
+        outs = self._sample_batch(conds, labels)
+        dt = time.time() - t0
+        srs = []
+        for out, orig in zip(outs, origs):
+            arr = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+            srs.append(bucket_crop(Image.fromarray(arr), orig))
+        with self.stats_lock:
+            self.stats['served'] += len(images)
+            self.stats['mpix'] += sum(s.size[0] * s.size[1]
+                                      for s in srs) / 1e6
+            self.stats['sample_seconds'] += dt
+        return srs
 
     def watch_loop(self):
         logger.info('watching %s -> %s every %.1fs', self.args.input_dir,

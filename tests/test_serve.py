@@ -123,6 +123,8 @@ def test_watch_pass_processes_and_skips(server):
     assert server.process_dir_once() == 2
     out_a = Image.open(server.root / 'out' / 'a_out.png')
     assert out_a.size == (7 * 4, 6 * 4)   # bucketed then cropped to exact 4x
+    # the two same-bucket files sampled as ONE batched canvas
+    assert server.stats['watch_batches'] == 1
     # second pass is a no-op (resume-by-output)
     assert server.process_dir_once() == 0
     # unreadable input is skipped, valid new input still served
