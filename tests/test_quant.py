@@ -176,6 +176,30 @@ def test_sharded_quantized_sampler_matches_single_device():
     assert float(np.mean(np.abs(d) > 1e-3)) < 0.20
 
 
+def test_quantized_ddim_tiled_sample():
+    """int8 convs + the DDIM sampler compose: deterministic across keys,
+    valid output range."""
+    conf = _tiny_conf(unet_dim=8, continuous_sampler='ddim')
+    qnet, params = _init_net(conf)
+    wrapper = build_wrapper(conf, qnet)
+    cond = jnp.asarray(np.random.RandomState(3).rand(1, 24, 24, 3), jnp.float32)
+    label = jnp.zeros((1,), jnp.int32)
+    init = jnp.asarray(np.random.RandomState(4).randn(1, 32, 32, 3), jnp.float32)
+    # tiled canvas for 24px at tile 16 pads to 32px
+    a = wrapper.tiled_sample(params, jax.random.PRNGKey(1), cond, label,
+                             batch_size=2, tile_size=16, num_sample_steps=3)
+    assert a.shape == (1, 24, 24, 3)
+    assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
+    # non-tiled DDIM with pinned init noise is key-invariant even quantized
+    cond_sq = jnp.asarray(np.random.RandomState(5).rand(1, 32, 32, 3),
+                          jnp.float32)
+    x = wrapper.sample(params, jax.random.PRNGKey(1), cond_sq, label,
+                       num_sample_steps=3, init_noise=init)
+    y = wrapper.sample(params, jax.random.PRNGKey(2), cond_sq, label,
+                       num_sample_steps=3, init_noise=init)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_quantized_tiled_sample_end_to_end():
     """Calibrated quantized tiled sampling runs and host-loop matches scan."""
     conf = _tiny_conf(unet_dim=8)

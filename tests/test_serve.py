@@ -165,6 +165,32 @@ def test_coalesced_super_resolve_end_to_end(server):
         server.batcher = None
 
 
+def test_server_int8_precision(tmp_path):
+    """The daemon builds and serves with --precision int8 (quantized convs
+    ride the same checkpoint-shaped params)."""
+    conf = tmp_path / 'tiny.yaml'
+    conf.write_text(
+        'model: conditional_continuous\n'
+        'unet_dim: 8\n'
+        "ddpm_unet_dim_mults: '1,2'\n"
+        "full_attn: 'False,True'\n"
+        'learned_sinusoidal_cond: true\n'
+        'learned_sinusoidal_dim: 8\n'
+        'num_classes: 3\n'
+        'image_size: 16\n')
+    args = parse_args([
+        '-c', str(conf), '-m', '', '--mode', 'http',
+        '--num_sample_steps', '2', '--tile_size', '16', '--batch_size', '2',
+        '--lr_bucket', '8', '--test_label', '0', '--precision', 'int8',
+        '--quantize_min_channels', '8'])
+    srv = Server(args)
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(6, 6, 3) * 255).astype(np.uint8))
+    out = srv.super_resolve(img)
+    assert out.size == (24, 24)
+    assert srv.model_info['precision'] == 'int8'
+
+
 def test_http_endpoints(server):
     server.args.port = 0
     httpd = server.make_http_server()
