@@ -15,19 +15,19 @@ We assume the torch/cuDNN path sustains 35% of A100 TF32 peak (156 TFLOP/s)
   ref_time = total_flops / 55e12 ; vs_baseline = our_throughput / ref_throughput.
 This is an *estimate*, recorded so the ratio is at least derived, not invented.
 
-Default precision mode: bf16 with W8A8 int8-MXU convs on the deep (>=256
-channel, low-resolution) U-Net stages, dynamic activation scales. Output
-divergence vs fp32 at 512px/50 steps is 48.8 dB (52.9 dB if only >=512ch
-stages; pure bf16 is 53.8 dB) — a perturbation that moves a PSNR-vs-ground-
-truth measurement by <0.02 dB at any realistic SR quality level, i.e. well
-inside the 0.1 dB parity budget. Evidence: tools/quality_probe.py runs
-recorded in docs/PERF.md. FULL int8 (35-38 dB) remains opt-in only.
+Default precision mode: bf16 with W8A8 int8-MXU convs on the deepest
+(>=512 channel) U-Net stages, dynamic activation scales. Output divergence
+vs fp32 at 512px/50 steps is 51.3-52.9 dB across weight/condition seeds —
+within 0.8 dB of pure bf16 itself (52.0-53.8 dB on the same seeds), i.e.
+statistically bf16-class and far inside the 0.1 dB parity budget.
+Evidence: tools/quality_probe.py runs recorded in docs/PERF.md. Wider
+quantization (>=256ch: 43.9-48.8 dB; all stages: 35-38 dB) stays opt-in.
 
 Env knobs: BENCH_LR_SIZE (512), BENCH_STEPS (8), BENCH_FULL_STEPS (250),
 BENCH_BATCH (8), BENCH_DTYPE (bfloat16), BENCH_TRACE_DIR (jax.profiler
 trace of the measured run, off by default), BENCH_QUANT ('w8a8'; 'none' =
 pure bf16, 'w8a8cal' = calibrated static scales over every conv),
-BENCH_QUANT_MIN_CH (256; 0 quantizes every stage).
+BENCH_QUANT_MIN_CH (512; 0 quantizes every stage).
 
 Per-phase wall-clock breakdown (init / compile+first / measure) prints on
 stderr via utils.profiling.PhaseTimer.
@@ -65,7 +65,7 @@ def main():
         quant = ''
     assert not (quant and dtype != 'bfloat16'), \
         'BENCH_QUANT requires BENCH_DTYPE=bfloat16'
-    quant_min_ch = int(os.environ.get('BENCH_QUANT_MIN_CH', 256))
+    quant_min_ch = int(os.environ.get('BENCH_QUANT_MIN_CH', 512))
     conf = ge._flagship_conf()
     conf.compute_dtype = dtype
     if quant:

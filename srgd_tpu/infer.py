@@ -62,9 +62,9 @@ def parse_args(argv=None):
                    help='int8: bf16 compute with W8A8 int8-MXU U-Net convs, '
                         'dynamic activation scales (quality evidence: '
                         'docs/PERF.md)')
-    p.add_argument('--quantize_min_channels', type=int, default=256,
+    p.add_argument('--quantize_min_channels', type=int, default=512,
                    help='with --precision int8: only quantize U-Net blocks '
-                        'this wide or wider. 256 (default) = deep stages '
+                        'this wide or wider. 512 (default) = deepest stages '
                         'only, bf16-class output quality; 0 = every stage, '
                         'fastest but measurably lossier (docs/PERF.md)')
     p.add_argument('--quant_calibrate', action='store_true',
@@ -248,7 +248,7 @@ def build_model_and_opts(args):
                           'int8': 'bfloat16'}[args.precision]
     if args.precision == 'int8':
         conf.quantize = 'w8a8'
-        conf.quantize_min_channels = getattr(args, 'quantize_min_channels', 256)
+        conf.quantize_min_channels = getattr(args, 'quantize_min_channels', 512)
     conf.tile_size = args.tile_size
     conf.use_pallas_kernels = getattr(args, 'use_pallas', False)
     if getattr(args, 'continuous_sampler', None):

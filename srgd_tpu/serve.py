@@ -91,7 +91,7 @@ def parse_args(argv=None):
                    choices=['host', 'scan'])
     p.add_argument('--precision', type=str, default='bf16',
                    choices=['fp32', 'bf16', 'int8'])
-    p.add_argument('--quantize_min_channels', type=int, default=256)
+    p.add_argument('--quantize_min_channels', type=int, default=512)
     p.add_argument('--quant_calibrate', action='store_true')
     p.add_argument('--mesh', type=str, default='')
     return p.parse_args(argv)

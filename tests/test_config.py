@@ -70,7 +70,7 @@ def test_tpu_serving_yaml_same_model_different_execution():
                 'learned_sinusoidal_dim', 'image_size', 'num_classes'):
         assert getattr(base, key) == getattr(srv, key), key
     assert srv.compute_dtype == 'bfloat16'
-    assert srv.quantize == 'w8a8' and srv.quantize_min_channels == 256
+    assert srv.quantize == 'w8a8' and srv.quantize_min_channels == 512
 
     net_b = build_unet_from_config(base)
     net_s = build_unet_from_config(srv)

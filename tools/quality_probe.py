@@ -8,7 +8,8 @@ parity budget under bf16 / W8A8-int8 compute.
 Env knobs: QP_LR (128), QP_STEPS (50), QP_DIM (128),
 QP_MODES ('float32,bfloat16'; 'w8a8' = bf16 + calibrated int8-MXU convs,
 'w8a8dyn' = same with dynamic activation scales), QP_QMIN (0 — only
-quantize blocks >= this many channels).
+quantize blocks >= this many channels), QP_WSEED/QP_CSEED (0/1 — weight
+and condition seeds, for replicating results across draws).
 Run on the TPU chip: python tools/quality_probe.py
 """
 
@@ -33,9 +34,12 @@ def main():
     from srgd_tpu.nn.unet import build_unet_from_config
     import __graft_entry__ as ge
 
+    wseed = int(os.environ.get('QP_WSEED', 0))
+    cseed = int(os.environ.get('QP_CSEED', 1))
     hr = lr * 4
     rng = jax.random.PRNGKey(71)
-    cond = jax.random.uniform(jax.random.PRNGKey(1), (1, hr, hr, 3), jnp.float32)
+    cond = jax.random.uniform(jax.random.PRNGKey(cseed), (1, hr, hr, 3),
+                              jnp.float32)
     label = jnp.zeros((1,), jnp.int32)
 
     modes = os.environ.get('QP_MODES', 'float32,bfloat16').split(',')
@@ -52,7 +56,7 @@ def main():
         params = jax.jit(lambda k: net.init(
             k, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,)),
             cond=jnp.zeros((1, 256, 256, 3)),
-            class_label=jnp.zeros((1,), jnp.int32)))(jax.random.PRNGKey(0))
+            class_label=jnp.zeros((1,), jnp.int32)))(jax.random.PRNGKey(wseed))
         if conf.compute_dtype == 'bfloat16':
             params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
         if mode == 'w8a8':
