@@ -92,36 +92,48 @@ def make_discrete_schedule(beta_schedule: str, timesteps: int, objective: str,
     alphas_cumprod = np.cumprod(alphas, axis=0)
     alphas_cumprod_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])
 
-    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+    # Deliberately computed without warnings: schedules where alphas_cumprod
+    # reaches exactly 1.0 at t=0 (e.g. cosine after beta clipping) make
+    # snr[0] = inf (and pred_noise loss_weight[0] = inf/inf = nan), and
+    # near-zero alphas_cumprod[T-1] can overflow the recip tables. The
+    # reference's float64 torch buffers hold the exact same inf/nan entries
+    # (torch just doesn't warn). The samplers never read the affected
+    # entries: posterior coefs/variance are read at t where the ancestral
+    # update uses them with nonzero weight, loss_weight is finite except at
+    # the degenerate boundary index, and the recip tables are finite for
+    # every t the DDIM/ancestral index math produces (pinned against a
+    # torch recomputation in tests/test_schedules.py).
+    with np.errstate(divide='ignore', invalid='ignore', over='ignore'):
+        posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
 
-    snr = alphas_cumprod / (1 - alphas_cumprod)
-    maybe_clipped_snr = np.minimum(snr, min_snr_gamma) if min_snr_loss_weight else snr
-    if objective == 'pred_noise':
-        loss_weight = maybe_clipped_snr / snr
-    elif objective == 'pred_x0':
-        loss_weight = maybe_clipped_snr
-    elif objective == 'pred_v':
-        loss_weight = maybe_clipped_snr / (snr + 1)
-    else:
-        raise ValueError(f'unknown objective {objective}')
+        snr = alphas_cumprod / (1 - alphas_cumprod)
+        maybe_clipped_snr = np.minimum(snr, min_snr_gamma) if min_snr_loss_weight else snr
+        if objective == 'pred_noise':
+            loss_weight = maybe_clipped_snr / snr
+        elif objective == 'pred_x0':
+            loss_weight = maybe_clipped_snr
+        elif objective == 'pred_v':
+            loss_weight = maybe_clipped_snr / (snr + 1)
+        else:
+            raise ValueError(f'unknown objective {objective}')
 
-    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
-    return DiscreteSchedule(
-        betas=f32(betas),
-        alphas_cumprod=f32(alphas_cumprod),
-        alphas_cumprod_prev=f32(alphas_cumprod_prev),
-        sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
-        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
-        log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
-        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
-        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1)),
-        posterior_variance=f32(posterior_variance),
-        posterior_log_variance_clipped=f32(np.log(np.maximum(posterior_variance, 1e-20))),
-        posterior_mean_coef1=f32(betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
-        posterior_mean_coef2=f32((1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)),
-        loss_weight=f32(loss_weight),
-        num_timesteps=int(timesteps),
-    )
+        f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+        return DiscreteSchedule(
+            betas=f32(betas),
+            alphas_cumprod=f32(alphas_cumprod),
+            alphas_cumprod_prev=f32(alphas_cumprod_prev),
+            sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
+            sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
+            log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
+            sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
+            sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1)),
+            posterior_variance=f32(posterior_variance),
+            posterior_log_variance_clipped=f32(np.log(np.maximum(posterior_variance, 1e-20))),
+            posterior_mean_coef1=f32(betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
+            posterior_mean_coef2=f32((1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)),
+            loss_weight=f32(loss_weight),
+            num_timesteps=int(timesteps),
+        )
 
 
 # ---------------------------------------------------------------------------

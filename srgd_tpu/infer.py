@@ -98,11 +98,13 @@ def try_open_image(image_path):
 
 
 def upscale_bicubic(image, scale: int = 4, interpolation: str = 'bicubic'):
-    """PIL x{scale} pre-upscale; 'lanczos' maps to bicubic like the reference
-    (inference.py:66-73)."""
+    """PIL x{scale} pre-upscale. ANY interpolation string maps to bicubic:
+    the reference maps both of its accepted values ('bicubic', 'lanczos')
+    to BICUBIC and crashes (UnboundLocalError) on anything else
+    (inference.py:66-73) — we keep the quirk and extend the bicubic mapping
+    to unknown values instead of crashing (docs/PARITY.md divergence #10)."""
     from PIL import Image
     width, height = image.size
-    # both branches bicubic — reference quirk kept
     resample = Image.BICUBIC
     return image.resize((width * scale, height * scale), resample=resample)
 
@@ -249,6 +251,11 @@ def build_model_and_opts(args):
     if args.precision == 'int8':
         conf.quantize = 'w8a8'
         conf.quantize_min_channels = getattr(args, 'quantize_min_channels', 512)
+    else:
+        # --precision fp32/bf16 means what it says even when the YAML carries
+        # quantize: w8a8 (e.g. the shipped *_tpu_serving.yaml): the CLI flag is
+        # the outermost override, so clear config-level quantization.
+        conf.quantize = 'none'
     conf.tile_size = args.tile_size
     conf.use_pallas_kernels = getattr(args, 'use_pallas', False)
     if getattr(args, 'continuous_sampler', None):

@@ -56,6 +56,11 @@ def parse_args(argv=None):
     p.add_argument('--input_dir', type=str, default=None)
     p.add_argument('--output_dir', type=str, default=None)
     p.add_argument('--poll_interval', type=float, default=2.0)
+    p.add_argument('--max_failures', type=int, default=3,
+                   help='consecutive failures before a watched file is '
+                        'quarantined (transient sampler hiccups retry)')
+    p.add_argument('--retry_after_polls', type=int, default=30,
+                   help='polls after which a quarantined file is retried')
     # http front-end
     p.add_argument('--port', type=int, default=8471)
     p.add_argument('--host', type=str, default='127.0.0.1')
@@ -157,6 +162,7 @@ class BatchingQueue:
         self.q = queue.Queue()
         self.stats = {'batches': 0, 'batched_images': 0}
         self._stash = None          # first non-matching request, next head
+        self._drain_lock = threading.Lock()   # submit may drain post-exit
         self.stop = threading.Event()
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
@@ -168,7 +174,12 @@ class BatchingQueue:
             raise RuntimeError('server shutting down')
         req = _Request(cond, label)
         self.q.put(req)
-        req.done.wait()
+        # The worker can exit (and the final drain run) between the stop
+        # check above and our put — poll so a request enqueued after the
+        # drain still gets failed instead of blocking forever.
+        while not req.done.wait(0.5):
+            if self.stop.is_set() and not self.thread.is_alive():
+                self._fail_pending()
         if req.error is not None:
             raise req.error
         return req.result
@@ -183,20 +194,24 @@ class BatchingQueue:
         self._fail_pending()
 
     def _fail_pending(self):
-        """Fail every queued request so submitters never hang."""
+        """Fail every queued request so submitters never hang. Only called
+        once the worker thread has exited (shutdown join / submit backstop),
+        so _stash is no longer concurrently owned; the lock serializes
+        multiple late submitters."""
         import queue
-        leftovers, self._stash = (
-            [] if self._stash is None else [self._stash]), None
-        while True:
-            try:
-                r = self.q.get_nowait()
-            except queue.Empty:
-                break
-            if r is not None:
-                leftovers.append(r)
-        for r in leftovers:
-            r.error = RuntimeError('server shutting down')
-            r.done.set()
+        with self._drain_lock:
+            leftovers, self._stash = (
+                [] if self._stash is None else [self._stash]), None
+            while True:
+                try:
+                    r = self.q.get_nowait()
+                except queue.Empty:
+                    break
+                if r is not None:
+                    leftovers.append(r)
+            for r in leftovers:
+                r.error = RuntimeError('server shutting down')
+                r.done.set()
 
     def _collect(self, head):
         import queue
@@ -274,7 +289,13 @@ class Server:
         self.stats = {'served': 0, 'errors': 0, 'mpix': 0.0,
                       'sample_seconds': 0.0, 'started': time.time()}
         self.stats_lock = threading.Lock()   # counters are touched from the
-        self.failed_inputs = set()           # watch, http, and batch threads
+                                             # watch, http, and batch threads
+        # watch-front-end failure bookkeeping (watch thread only): both maps
+        # are pruned to the current pending set every pass, so a long-lived
+        # daemon's memory stays bounded by the input backlog.
+        self.failed_inputs = {}   # filename -> consecutive failure count
+        self.quarantined = {}     # filename -> poll index when quarantined
+        self._poll_index = 0
         self.model_info = {
             'model': opts.get('model', ''), 'num_sample_steps':
                 args.num_sample_steps, 'precision': args.precision,
@@ -340,64 +361,84 @@ class Server:
             self.stats.update(before)
 
     # -- watch front-end ---------------------------------------------------
+    def _record_failure(self, filename):
+        n = self.failed_inputs.get(filename, 0) + 1
+        self.failed_inputs[filename] = n
+        if n >= max(self.args.max_failures, 1):
+            self.quarantined[filename] = self._poll_index
+            logger.warning('%s failed %d consecutive times; quarantined, '
+                           'retry in %d polls', filename, n,
+                           self.args.retry_after_polls)
+
     def process_dir_once(self):
         """One pass over input_dir; returns the number of images produced.
 
         Same rename/skip/unreadable semantics as the batch CLI (shared
-        pending_outputs helper). A file that keeps failing is quarantined in
-        ``failed_inputs`` so it cannot starve alphabetically-later files on
-        every poll. Consecutive pending files that bucket to the same
-        geometry are sampled as ONE batched canvas (up to
-        --max_batch_images) — a folder of same-sized images gets the
-        coalescing throughput win with zero concurrency."""
+        pending_outputs helper). ALL pending files of a pass are grouped by
+        bucketed geometry (stable sorted order within a group), so an
+        alphabetically interleaved folder of two geometries samples as two
+        batched canvases, not 2N singles. Failures (including unreadable
+        inputs, which may be mid-upload) are counted per file: quarantine
+        starts only after --max_failures consecutive failures, quarantined
+        files are retried every --retry_after_polls polls, and both maps are
+        pruned to the pending set — one transient sampler hiccup never
+        permanently skips good inputs."""
         from srgd_tpu.infer import pending_outputs, try_open_image
         a = self.args
         os.makedirs(a.output_dir, exist_ok=True)
+        self._poll_index += 1
         done = 0
 
-        group = []          # [(filename, save_path, PIL image, bucket size)]
+        pending = list(pending_outputs(a.input_dir, a.output_dir))
+        live = {fn for fn, _ in pending}
+        self.failed_inputs = {f: c for f, c in self.failed_inputs.items()
+                              if f in live}
+        self.quarantined = {f: p for f, p in self.quarantined.items()
+                            if f in live}
 
-        def flush_group():
-            nonlocal done
-            if not group:
-                return
-            batch, group[:] = group[:], []
-            t0 = time.time()
-            try:
-                srs = self._batched_super_resolve([g[2] for g in batch])
-            except Exception:
-                self.bump_error()
-                for g in batch:
-                    self.failed_inputs.add(g[0])
-                logger.exception('failed batch of %d (quarantined): %s',
-                                 len(batch), [g[0] for g in batch])
-                return
-            dt = time.time() - t0
-            with self.stats_lock:
-                self.stats['watch_batches'] = \
-                    self.stats.get('watch_batches', 0) + 1
-            for (fn, sp, _img, _key), sr in zip(batch, srs):
-                sr.save(sp)
-                done += 1
-                logger.info('%s -> %s (batch of %d, %.2fs)', fn, sp,
-                            len(batch), dt)
-
-        for filename, save_path in pending_outputs(a.input_dir, a.output_dir):
-            if filename in self.failed_inputs:
-                continue
+        groups = {}     # bucketed geometry -> [(filename, save_path, image)]
+        for filename, save_path in pending:
+            if self.stop.is_set():
+                break
+            if filename in self.quarantined:
+                if (self._poll_index - self.quarantined[filename]
+                        < max(a.retry_after_polls, 1)):
+                    continue
+                del self.quarantined[filename]   # retry window reached
             image = try_open_image(filename)
             if image is None:
                 logger.warning('unreadable input skipped: %s', filename)
-                self.failed_inputs.add(filename)
+                self._record_failure(filename)
                 continue
             key = bucket_pad(image, a.lr_bucket)[0].size
-            if group and (key != group[-1][3]
-                          or len(group) >= max(a.max_batch_images, 1)):
-                flush_group()
-            group.append((filename, save_path, image, key))
-            if self.stop.is_set():
-                break
-        flush_group()
+            groups.setdefault(key, []).append((filename, save_path, image))
+
+        cap = max(a.max_batch_images, 1)
+        for items in groups.values():
+            for i in range(0, len(items), cap):
+                if self.stop.is_set():
+                    break
+                batch = items[i:i + cap]
+                t0 = time.time()
+                try:
+                    srs = self._batched_super_resolve([b[2] for b in batch])
+                except Exception:
+                    self.bump_error()
+                    for fn, _sp, _img in batch:
+                        self._record_failure(fn)
+                    logger.exception('failed batch of %d: %s',
+                                     len(batch), [b[0] for b in batch])
+                    continue
+                dt = time.time() - t0
+                with self.stats_lock:
+                    self.stats['watch_batches'] = \
+                        self.stats.get('watch_batches', 0) + 1
+                for (fn, sp, _img), sr in zip(batch, srs):
+                    sr.save(sp)
+                    self.failed_inputs.pop(fn, None)
+                    done += 1
+                    logger.info('%s -> %s (batch of %d, %.2fs)', fn, sp,
+                                len(batch), dt)
         return done
 
     def _batched_super_resolve(self, images):
@@ -465,6 +506,7 @@ class Server:
                 elif path == '/stats':
                     s = dict(server.stats)
                     s['uptime_seconds'] = time.time() - s.pop('started')
+                    s['quarantined'] = len(server.quarantined)
                     if server.batcher is not None:
                         s.update(server.batcher.stats)
                     self._json(200, s)

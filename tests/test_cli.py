@@ -88,6 +88,38 @@ def test_cli_class_cfg(setup_dirs):
     assert (out_dir / 'a_out.png').exists()
 
 
+def test_interpolation_always_bicubic():
+    """docs/PARITY.md divergence #10: ANY --interpolation value maps to
+    bicubic. The reference maps 'lanczos' to BICUBIC too but crashes with an
+    UnboundLocalError on any other value (inference.py:66-69)."""
+    from srgd_tpu.infer import upscale_bicubic
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(rng.integers(0, 255, size=(9, 7, 3), dtype=np.uint8))
+    base = np.asarray(upscale_bicubic(img, 4, 'bicubic'))
+    assert base.shape == (36, 28, 3)
+    for name in ('lanczos', 'bilinear', 'nearest', 'no-such-filter'):
+        np.testing.assert_array_equal(
+            np.asarray(upscale_bicubic(img, 4, name)), base)
+
+
+def test_precision_flag_clears_config_quantize(tmp_path):
+    """--precision fp32/bf16 must win over a YAML that sets quantize: w8a8
+    (e.g. the shipped *_tpu_serving.yaml) — a user asking for fp32 must not
+    silently get int8 convs (ADVICE r1)."""
+    from srgd_tpu.infer import build_model_and_opts, parse_args
+    conf = tmp_path / 'q.yaml'
+    conf.write_text(TINY_YAML + 'quantize: w8a8\nquantize_min_channels: 8\n')
+    common = ['-c', str(conf), '-m', '', '--input_dir', 'x', '--output_dir',
+              'y', '--tile_size', '64']
+    _, net, _, _, _ = build_model_and_opts(
+        parse_args(common + ['--precision', 'fp32']))
+    assert net.quant is None
+    _, net, _, _, _ = build_model_and_opts(
+        parse_args(common + ['--precision', 'int8',
+                             '--quantize_min_channels', '8']))
+    assert net.quant == 'w8a8'
+
+
 def test_cli_mesh_multichip(setup_dirs):
     """Multi-chip serving path: 8-device data mesh, tile-DP inference."""
     conf, in_dir, out_dir = setup_dirs

@@ -90,6 +90,117 @@ def test_batching_queue_propagates_errors():
         bq.shutdown()
 
 
+def _stub_watch_server(root, max_failures=3, retry_after_polls=30,
+                       max_batch_images=8):
+    """A Server with the watch-loop bookkeeping but no model — tests
+    process_dir_once's grouping/quarantine logic in isolation by stubbing
+    _batched_super_resolve per test."""
+    args = parse_args([
+        '-c', 'unused', '-m', '', '--mode', 'watch',
+        '--input_dir', str(root / 'in'), '--output_dir', str(root / 'out'),
+        '--lr_bucket', '8', '--max_batch_images', str(max_batch_images),
+        '--max_failures', str(max_failures),
+        '--retry_after_polls', str(retry_after_polls)])
+    srv = object.__new__(Server)
+    srv.args = args
+    srv.stop = threading.Event()
+    srv.stats = {'served': 0, 'errors': 0, 'mpix': 0.0,
+                 'sample_seconds': 0.0, 'started': time.time()}
+    srv.stats_lock = threading.Lock()
+    srv.failed_inputs = {}
+    srv.quarantined = {}
+    srv._poll_index = 0
+    return srv
+
+
+def _fake_sr(images):
+    return [Image.fromarray(np.zeros((im.size[1] * 4, im.size[0] * 4, 3),
+                                     np.uint8)) for im in images]
+
+
+def test_watch_groups_interleaved_geometries(tmp_path):
+    """An alphabetically interleaved folder of two geometries samples as TWO
+    batched canvases (full-pass grouping), not 2N singles; output order
+    within a geometry stays sorted."""
+    (tmp_path / 'in').mkdir()
+    for name, size in [('a.png', 6), ('b.png', 14), ('c.png', 6),
+                       ('d.png', 14)]:
+        Image.fromarray(np.zeros((size, size, 3), np.uint8)).save(
+            tmp_path / 'in' / name)
+    srv = _stub_watch_server(tmp_path)
+    batches = []
+
+    def fake(images):
+        batches.append([im.size for im in images])
+        return _fake_sr(images)
+
+    srv._batched_super_resolve = fake
+    assert srv.process_dir_once() == 4
+    assert len(batches) == 2
+    assert sorted(len(b) for b in batches) == [2, 2]
+    for sizes in batches:
+        assert len(set(sizes)) == 1      # one geometry per batch
+    for name in ('a_out.png', 'b_out.png', 'c_out.png', 'd_out.png'):
+        assert (tmp_path / 'out' / name).exists()
+
+
+def test_watch_quarantine_after_failures_then_retry(tmp_path):
+    """One transient failure only retries next poll; quarantine starts after
+    --max_failures consecutive failures and is evicted (retried) after
+    --retry_after_polls polls. Success clears all bookkeeping."""
+    (tmp_path / 'in').mkdir()
+    Image.fromarray(np.zeros((6, 6, 3), np.uint8)).save(
+        tmp_path / 'in' / 'x.png')
+    srv = _stub_watch_server(tmp_path, max_failures=2, retry_after_polls=3)
+    calls = {'n': 0}
+    failing = {'on': True}
+
+    def fake(images):
+        calls['n'] += 1
+        if failing['on']:
+            raise RuntimeError('transient chip hiccup')
+        return _fake_sr(images)
+
+    srv._batched_super_resolve = fake
+    # poll 1: first failure -> NOT quarantined, retried next poll
+    assert srv.process_dir_once() == 0 and calls['n'] == 1
+    assert not srv.quarantined and srv.failed_inputs
+    # poll 2: second consecutive failure -> quarantined
+    assert srv.process_dir_once() == 0 and calls['n'] == 2
+    assert len(srv.quarantined) == 1
+    # polls 3-4: inside the retry window, no sampler calls
+    assert srv.process_dir_once() == 0 and calls['n'] == 2
+    assert srv.process_dir_once() == 0 and calls['n'] == 2
+    # poll 5: window elapsed -> retried, now succeeds, bookkeeping cleared
+    failing['on'] = False
+    assert srv.process_dir_once() == 1 and calls['n'] == 3
+    assert (tmp_path / 'out' / 'x_out.png').exists()
+    # next pass prunes both maps to the (now empty) pending set
+    assert srv.process_dir_once() == 0
+    assert not srv.quarantined and not srv.failed_inputs
+
+
+def test_batching_queue_submit_after_shutdown_never_hangs():
+    """A submit that slips past the stop check while shutdown drains must
+    still fail promptly instead of blocking forever (ADVICE r1)."""
+    bq = BatchingQueue(lambda c, l: c, window=0.01, max_images=2)
+    bq.shutdown()    # worker exits and the final drain runs
+    # model the race: stop looks clear at submit's front check, then flips
+    # after the put (the worker is already gone, so nothing drains the queue
+    # except submit's own backstop)
+    bq.stop.clear()
+    timer = threading.Timer(0.2, bq.stop.set)
+    timer.start()
+    t0 = time.time()
+    try:
+        with pytest.raises(RuntimeError, match='shutting down'):
+            bq.submit(np.zeros((1, 8, 8, 3), np.float32), None)
+    finally:
+        timer.cancel()
+        bq.stop.set()
+    assert time.time() - t0 < 10
+
+
 @pytest.fixture(scope='module')
 def server(tmp_path_factory):
     root = tmp_path_factory.mktemp('serve')
