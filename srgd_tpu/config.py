@@ -141,7 +141,10 @@ class Config:
     momentum: float = 0.9
     nesterov: bool = False
     amsgrad: bool = False
-    madgrad_decoupled_decay: bool = True
+    madgrad_decoupled_decay: bool = True  # accepted for compat; ignored —
+                                          # only meaningful with optimizer:
+                                          # madgrad, which trainer.py rejects
+                                          # (unreleased reference path)
 
     # scheduler
     epochs: int = 300
@@ -178,9 +181,9 @@ class Config:
     iso_noise_prob: float = 0.5
     multiplicative_noise_prob: float = 0.5
 
-    train: bool = True
-    test: bool = False
-    debug: bool = False
+    train: bool = True   # accepted for compat; ignored — reference run-mode
+    test: bool = False   # switches its unreleased driver read; this repo's
+    debug: bool = False  # entry points (infer/train/serve) select the mode
 
     save_validation_sample: bool = False
     save_validation_hr_sample: bool = False
@@ -191,7 +194,8 @@ class Config:
 
     num_workers: int = 4
     device: str = 'cuda'  # accepted for YAML compat; ignored (JAX picks devices)
-    pin_memory: bool = True
+    pin_memory: bool = True  # accepted for compat; ignored (torch DataLoader
+                             # knob — the numpy prefetcher has no pinning)
     model_dir: str = 'models'
     log_dir: str = 'logs'
     print_freq: int = 0

@@ -101,6 +101,51 @@ def list_images(root: str) -> list:
     return sorted(files)
 
 
+def fold_split(files: list, n_fold: int, fold: str, role: str,
+               validation_ratio: float = 1.0) -> list:
+    """Deterministic fold-based train/val split over the sorted file list.
+
+    Re-creates the protocol the reference's ``n_fold``/``train_fold`` knobs
+    describe (/root/reference/config.py:65-66; the trainer that read them
+    was never shipped): sorted file i belongs to fold ``i % n_fold``;
+    ``fold`` (CSV of fold ids, e.g. '0' or '0,3') names the fold(s) HELD
+    OUT for validation in this run — the cross-validation convention where
+    run #k trains on everything except fold k — so role='train' keeps the
+    complement and role='val' keeps the named folds, subsampled to the
+    first ``ceil(validation_ratio * len)`` files (config.py:71).
+    role=None (or n_fold <= 1) disables splitting."""
+    if role is None or n_fold <= 1:
+        return files
+    import math
+    held_out = {int(x) for x in str(fold).split(',') if x != ''}
+    bad = sorted(i for i in held_out if not 0 <= i < n_fold)
+    if bad:
+        raise ValueError(
+            f'train_fold ids {bad} out of range for n_fold={n_fold}')
+    if role == 'train':
+        return [f for i, f in enumerate(files) if i % n_fold not in held_out]
+    if role == 'val':
+        out = [f for i, f in enumerate(files) if i % n_fold in held_out]
+        return out[:math.ceil(len(out) * validation_ratio)]
+    raise ValueError(f'unknown fold role {role!r}')
+
+
+def filter_by_min_size(files: list, min_size: int) -> list:
+    """crop_size_limit (config.py:86): keep only images whose short side is
+    >= the crop size (header-only size read; no pixel decode)."""
+    from PIL import Image
+    kept = []
+    for f in files:
+        try:
+            with Image.open(f) as im:
+                w, h = im.size
+        except Exception:
+            continue
+        if min(w, h) >= min_size:
+            kept.append(f)
+    return kept
+
+
 PREPROCESS_MODES = ('randomcrop', 'centercrop', 'justresize',
                     'resize_randomcrop')
 
@@ -406,10 +451,29 @@ class DegradationDataset:
                  quality_lower: int = 50, quality_upper: int = 95,
                  degrade_cfg: Optional[DegradeConfig] = None,
                  preprocess: str = 'randomcrop', scale_size: int = 0,
-                 shuffle: bool = True):
+                 shuffle: bool = True, scale: int = 4, crop_rate: int = 1,
+                 crop_size_limit: bool = False, n_fold: int = 1,
+                 fold: str = '0', fold_role: Optional[str] = None,
+                 validation_ratio: float = 1.0):
         self.files = list_images(root)
         if not self.files:
             raise FileNotFoundError(f'no images under {root}')
+        if crop_size_limit:   # config.py:86: drop images smaller than a crop
+            self.files = filter_by_min_size(self.files, crop_size)
+            if not self.files:
+                raise FileNotFoundError(
+                    f'crop_size_limit: no image under {root} has short side '
+                    f'>= crop_size {crop_size}')
+        self.files = fold_split(self.files, n_fold, fold, fold_role,
+                                validation_ratio)
+        if not self.files:
+            raise FileNotFoundError(
+                f'fold split n_fold={n_fold} train_fold={fold!r} '
+                f'role={fold_role!r} selected no files under {root}')
+        self.scale = scale            # hr_image_size // lr_image_size
+        self.crop_rate = max(int(crop_rate), 1)   # config.py:84: crop a
+        # crop_rate x larger region, resize down — zoom-out augmentation
+        # (1 = off, the shipped YAML's value)
         self.shuffle = shuffle
         self._cursor = 0                       # sequential order when not
         self._cursor_lock = threading.Lock()   # shuffling (conf.shuffle)
@@ -440,11 +504,14 @@ class DegradationDataset:
             idx %= len(self.files)
         path = self.files[idx]
         img = np.asarray(Image.open(path).convert('RGB'))
-        hr = _augment(preprocess_crop(img, self.crop_size, self.preprocess,
-                                      rng, self.scale_size), rng,
-                      self.hflip, self.rotate)
+        big = self.crop_size * self.crop_rate
+        hr = preprocess_crop(img, big, self.preprocess, rng, self.scale_size)
+        if big != self.crop_size:
+            hr = _resize(hr, (self.crop_size, self.crop_size),
+                         self.cfg.interpolation)
+        hr = _augment(hr, rng, self.hflip, self.rotate)
         label = int(rng.integers(0, self.num_classes))
-        cond = degrade(hr, label, rng, cfg=self.cfg)
+        cond = degrade(hr, label, rng, cfg=self.cfg, scale=self.scale)
         if self.cfg.usm_sharpener and self.cfg.trans_mode == 'realesrgan':
             # Real-ESRGAN sharpens the GT when usm_sharpener is on
             hr = usm_sharpen(hr)

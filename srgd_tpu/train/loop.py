@@ -24,15 +24,30 @@ from srgd_tpu.utils.profiling import PhaseTimer
 logger = logging.getLogger('srgd_tpu.train')
 
 
+def _conf_scale(conf) -> int:
+    """SR factor from the config's image-size pair (config.py:80-83): the
+    degradation pipeline downsamples HR crops by hr_image_size /
+    lr_image_size (4 for the shipped 256/64 flagship)."""
+    if conf.lr_image_size <= 0 or conf.hr_image_size % conf.lr_image_size:
+        raise ValueError(
+            f'hr_image_size {conf.hr_image_size} must be an integer multiple '
+            f'of lr_image_size {conf.lr_image_size}')
+    return conf.hr_image_size // conf.lr_image_size
+
+
 def validate(conf, wrapper, params, val_dir: str, rng, num_images: int = 4,
-             lpips_params=None, sample_dir: str = None, step: int = 0):
+             lpips_params=None, sample_dir: str = None, step: int = 0,
+             fold_role=None):
     """Sample with the current (EMA) params on degraded val crops and score
     PSNR/SSIM (+ LPIPS when weights are provided) — the metric surface the
     reference's config names (test_target, config.py:181) but never shipped.
 
     Honors valid_preprocess / valid_trans_mode (config.py:147, 152) and the
     save_validation_sample / save_validation_hr_sample switches
-    (config.py:176-177) when sample_dir is given."""
+    (config.py:176-177) when sample_dir is given; skip_sample (config.py:69)
+    suppresses the sample PNGs while keeping the metrics. fold_role='val'
+    restricts val_dir to the held-out folds (n_fold/train_fold,
+    validation_ratio)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,6 +66,11 @@ def validate(conf, wrapper, params, val_dir: str, rng, num_images: int = 4,
                             degrade_cfg=val_cfg,
                             preprocess=conf.valid_preprocess,
                             scale_size=conf.scale_size,
+                            scale=_conf_scale(conf),
+                            crop_size_limit=conf.crop_size_limit,
+                            n_fold=conf.n_fold, fold=conf.train_fold,
+                            fold_role=fold_role,
+                            validation_ratio=conf.validation_ratio,
                             hflip=False, rotate=False)
     hr, cond, label = next(iter(ds))
     hr, cond = jnp.asarray(hr), jnp.asarray(cond)
@@ -62,8 +82,8 @@ def validate(conf, wrapper, params, val_dir: str, rng, num_images: int = 4,
         from srgd_tpu.utils.lpips import lpips
         metrics['lpips'] = float(jnp.mean(lpips(out, hr, lpips_params)))
 
-    if sample_dir and (conf.save_validation_sample
-                       or conf.save_validation_hr_sample):
+    if sample_dir and not conf.skip_sample and (
+            conf.save_validation_sample or conf.save_validation_hr_sample):
         from PIL import Image
         os.makedirs(sample_dir, exist_ok=True)
 
@@ -108,6 +128,28 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
         TrainState, create_train_state, make_optimizer, make_train_step)
 
     conditional = 'conditional' in conf.model
+    if conf.quantize != 'none':
+        # QuantConv rounds with no straight-through estimator, so training a
+        # quantized net gets ~zero conv gradients and silently fails to learn.
+        # Serving YAMLs carry the full training key surface — reject rather
+        # than ignore (same pattern as plateau_mode/test_target rejects).
+        raise ValueError(
+            f"quantize: {conf.quantize!r} is inference-only (no STE through "
+            "the int8 rounding); train with quantize: 'none' and enable int8 "
+            "at serving time via --precision int8.")
+    if conditional and conf.conditional_task_type != 'realsr_denoise_sr':
+        # the only task recipe the reference defines (config.py:20-21): the
+        # 3-class realsr/denoise/sr degradation conditioning
+        raise ValueError(
+            f'conditional_task_type {conf.conditional_task_type!r} is not '
+            "supported; the only defined task is 'realsr_denoise_sr'")
+    if conf.val_realsrv3 or conf.val_drealsr:
+        # external benchmark val sets (config.py:73-76) cannot be fetched in
+        # this environment — requesting them is a named error, not a no-op
+        raise NotImplementedError(
+            'val_realsrv3/val_drealsr require the RealSR-V3/DRealSR '
+            'benchmark datasets, which cannot be downloaded here; place a '
+            'local copy and point --val_dir at it instead')
     net = build_unet_from_config(conf)
     wrapper = build_wrapper(conf, net)
 
@@ -127,6 +169,9 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
         seed=conf.seed, num_workers=conf.num_workers,
         degrade_cfg=DegradeConfig.from_conf(conf),
         preprocess=conf.train_preprocess, scale_size=conf.scale_size,
+        scale=_conf_scale(conf), crop_rate=conf.crop_rate,
+        crop_size_limit=conf.crop_size_limit,
+        n_fold=conf.n_fold, fold=conf.train_fold, fold_role='train',
         shuffle=conf.shuffle)
 
     rng = jax.random.PRNGKey(conf.seed)
@@ -217,16 +262,22 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
                 # score per conf.test_target (higher = better; loss/lpips
                 # negated); best_loss needs no validation pass
                 score = None
+                # without an explicit val_dir, validation falls back to the
+                # held-out folds of the training dir (n_fold/train_fold)
+                vdir, vrole = ((val_dir, None) if val_dir else
+                               (data_dir, 'val') if conf.n_fold > 1 else
+                               (None, None))
                 if target == 'best_loss':
                     score = -float(np.mean(losses[-log_every:]))
-                elif val_dir and not conf.skip_val:
+                elif vdir and not conf.skip_val:
                     with timer.phase('val'):
-                        m = validate(conf, wrapper, state.ema_params, val_dir,
+                        m = validate(conf, wrapper, state.ema_params, vdir,
                                      jax.random.fold_in(rng, step),
+                                     num_images=conf.sample_size,
                                      lpips_params=lpips_params,
                                      sample_dir=os.path.join(out_dir,
                                                              'val_samples'),
-                                     step=step)
+                                     step=step, fold_role=vrole)
                     logger.info('val @%d: %s', step,
                                 '  '.join(f'{k} {v:.4f}' for k, v in m.items()))
                     score = {'best_psnr': m['psnr'], 'best_ssim': m['ssim'],
@@ -244,7 +295,9 @@ def main(argv=None):
                         format='%(asctime)s %(name)s %(message)s')
     p = argparse.ArgumentParser()
     p.add_argument('-c', '--conf', required=True)
-    p.add_argument('--data_dir', required=True)
+    p.add_argument('--data_dir', default='',
+                   help='default: {conf.base_dir}/{conf.dataset_name} '
+                        '(the reference dataset layout, config.py:10-11)')
     p.add_argument('--out_dir', default='',
                    help='default: {conf.model_dir}/{conf.save_dir} '
                         '(the reference artifact layout)')
@@ -258,8 +311,9 @@ def main(argv=None):
     from srgd_tpu.config import load_config
     conf = load_config(args.conf)
     out_dir = args.out_dir or os.path.join(conf.model_dir, conf.save_dir)
+    data_dir = args.data_dir or os.path.join(conf.base_dir, conf.dataset_name)
     mesh_shape = tuple(int(x) for x in args.mesh.split(',')) if args.mesh else None
-    train(conf, args.data_dir, out_dir, total_steps=args.steps,
+    train(conf, data_dir, out_dir, total_steps=args.steps,
           log_every=args.log_every, save_every=args.save_every,
           mesh_shape=mesh_shape, val_dir=args.val_dir or None)
 

@@ -103,6 +103,86 @@ def test_dataset_missing_dir(tmp_path):
         DegradationDataset(str(tmp_path / 'nope'))
 
 
+def test_fold_split_and_validation_ratio():
+    """n_fold/train_fold/validation_ratio (reference config.py:65-66, 71):
+    deterministic held-out-fold split; train/val partition the files."""
+    from srgd_tpu.train.data import fold_split
+    files = [f'{i}.png' for i in range(10)]
+    tr = fold_split(files, 5, '0', 'train')
+    va = fold_split(files, 5, '0', 'val')
+    assert not set(tr) & set(va)
+    assert sorted(tr + va) == files
+    assert va == ['0.png', '5.png']
+    assert fold_split(files, 5, '0', 'val', validation_ratio=0.5) == ['0.png']
+    assert len(fold_split(files, 5, '0,1', 'val')) == 4
+    assert fold_split(files, 1, '0', 'train') == files   # n_fold<=1 = off
+    assert fold_split(files, 5, '0', None) == files
+    with pytest.raises(ValueError, match='out of range'):
+        fold_split(files, 5, '7', 'val')
+
+
+def test_dataset_honors_size_and_fold_knobs(image_dir):
+    """crop_size_limit / crop_rate / scale / fold knobs are live on the
+    dataset (previously accepted-but-inert config surface)."""
+    from srgd_tpu.train.data import DegradationDataset
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+        image_dir / 'aa_small.png')
+
+    # crop_size_limit drops images whose short side < crop_size
+    ds = DegradationDataset(str(image_dir), crop_size=64, batch_size=2,
+                            num_workers=1, crop_size_limit=True)
+    assert len(ds.files) == 3 and not any('aa_small' in f for f in ds.files)
+    ds_all = DegradationDataset(str(image_dir), crop_size=64, batch_size=2,
+                                num_workers=1)
+    assert len(ds_all.files) == 4
+    with pytest.raises(FileNotFoundError, match='crop_size_limit'):
+        DegradationDataset(str(image_dir), crop_size=512,
+                           crop_size_limit=True)
+
+    # fold split partitions the file list
+    dt = DegradationDataset(str(image_dir), crop_size=32, num_workers=1,
+                            n_fold=2, fold='0', fold_role='train')
+    dv = DegradationDataset(str(image_dir), crop_size=32, num_workers=1,
+                            n_fold=2, fold='0', fold_role='val')
+    assert sorted(dt.files + dv.files) == sorted(ds_all.files)
+    assert not set(dt.files) & set(dv.files)
+
+    # crop_rate=2 crops a 2x region and resizes down — same output shape
+    ds3 = DegradationDataset(str(image_dir), crop_size=32, batch_size=2,
+                             num_workers=1, crop_rate=2, seed=3,
+                             crop_size_limit=True)
+    hr, cond, label = next(iter(ds3))
+    assert hr.shape == (2, 32, 32, 3) and cond.shape == (2, 32, 32, 3)
+
+    # scale=2 (hr/lr image size ratio) drives the degradation downsampling
+    ds4 = DegradationDataset(str(image_dir), crop_size=32, batch_size=2,
+                             num_workers=1, scale=2, seed=4,
+                             crop_size_limit=True)
+    hr, cond, label = next(iter(ds4))
+    assert cond.shape == (2, 32, 32, 3)
+
+
+def test_train_rejects_bad_task_valsets_and_sizes(tmp_path):
+    """conditional_task_type is validated; external val-set knobs are named
+    errors; inconsistent hr/lr image sizes are rejected."""
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.loop import train
+    base = dict(model='conditional_continuous', unet_dim=8,
+                ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                hr_image_size=16, lr_image_size=4, batch_size=2)
+    with pytest.raises(ValueError, match='conditional_task_type'):
+        train(Config(**{**base, 'conditional_task_type': 'faces'}),
+              'unused', str(tmp_path / 'a'))
+    with pytest.raises(NotImplementedError, match='val_realsrv3'):
+        train(Config(val_realsrv3=True, **base), 'unused', str(tmp_path / 'b'))
+    with pytest.raises(NotImplementedError, match='val_realsrv3'):
+        train(Config(val_drealsr=True, **base), 'unused', str(tmp_path / 'c'))
+    with pytest.raises(ValueError, match='integer multiple'):
+        train(Config(**{**base, 'lr_image_size': 7}),
+              'unused', str(tmp_path / 'd'))
+
+
 def test_ema_update():
     from srgd_tpu.train.ema import ema_update
     ema = {'w': jnp.ones((3,))}
@@ -276,7 +356,7 @@ def test_validate_saves_samples(image_dir, tmp_path):
     conf = Config(model='conditional_continuous', unet_dim=8,
                   ddpm_unet_dim_mults='1,2', full_attn='False,True',
                   learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
-                  hr_image_size=16, num_sample_steps=2, val_num_sample_steps=2,
+                  hr_image_size=16, lr_image_size=4, num_sample_steps=2, val_num_sample_steps=2,
                   save_validation_sample=True, save_validation_hr_sample=True,
                   valid_preprocess='centercrop', valid_trans_mode='simple')
     wrapper, net, params = get_model(conf)
@@ -288,6 +368,13 @@ def test_validate_saves_samples(image_dir, tmp_path):
     assert any(f.startswith('sample_000007') for f in files)
     assert any(f.startswith('hr_000007') for f in files)
 
+    # skip_sample (config.py:69) keeps the metrics but suppresses the PNGs
+    conf.skip_sample = True
+    sdir2 = str(tmp_path / 'samples2')
+    m2 = validate(conf, wrapper, params, str(image_dir),
+                  jax.random.PRNGKey(0), num_images=2, sample_dir=sdir2)
+    assert np.isfinite(m2['psnr']) and not os.path.exists(sdir2)
+
 
 def test_train_loop_end_to_end(image_dir, tmp_path):
     """Full trainer: data -> steps -> checkpoint -> resume."""
@@ -297,7 +384,7 @@ def test_train_loop_end_to_end(image_dir, tmp_path):
     conf = Config(model='conditional_continuous', unet_dim=8,
                   ddpm_unet_dim_mults='1,2', full_attn='False,True',
                   learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
-                  hr_image_size=16, batch_size=2, num_workers=1,
+                  hr_image_size=16, lr_image_size=4, batch_size=2, num_workers=1,
                   epochs=1, warmup_epochs=0, ema_decay=0.9, seed=0)
     out_dir = str(tmp_path / 'run')
     state = train(conf, str(image_dir), out_dir, total_steps=3,
@@ -310,6 +397,21 @@ def test_train_loop_end_to_end(image_dir, tmp_path):
     state2 = train(conf, str(image_dir), out_dir, total_steps=4,
                    log_every=1, save_every=10)
     assert int(state2.step) == 4
+
+
+def test_train_rejects_quantized_config(tmp_path):
+    """quantize: w8a8 is inference-only (QuantConv rounds with no STE, so a
+    quantized train step gets ~zero conv gradients) — the trainer must
+    reject it rather than silently fail to learn."""
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.loop import train
+
+    conf = Config(model='conditional_continuous', unet_dim=8,
+                  ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                  hr_image_size=16, lr_image_size=4, batch_size=2, quantize='w8a8')
+    with pytest.raises(ValueError, match='inference-only'):
+        train(conf, 'unused', str(tmp_path / 'q'), total_steps=1)
 
 
 def test_resume_matches_uninterrupted(tmp_path, monkeypatch):
@@ -338,7 +440,7 @@ def test_resume_matches_uninterrupted(tmp_path, monkeypatch):
     conf = Config(model='conditional_continuous', unet_dim=8,
                   ddpm_unet_dim_mults='1,2', full_attn='False,True',
                   learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
-                  hr_image_size=16, batch_size=2, num_workers=1,
+                  hr_image_size=16, lr_image_size=4, batch_size=2, num_workers=1,
                   epochs=1, warmup_epochs=0, ema_decay=0.9, seed=0,
                   scheduler='constant')  # schedule independent of total_steps
 
@@ -390,7 +492,7 @@ def test_validate(image_dir):
     conf = Config(model='conditional_continuous', unet_dim=8,
                   ddpm_unet_dim_mults='1,2', full_attn='False,True',
                   learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
-                  hr_image_size=16, num_sample_steps=2, val_num_sample_steps=2)
+                  hr_image_size=16, lr_image_size=4, num_sample_steps=2, val_num_sample_steps=2)
     wrapper, net, params = get_model(conf)
     m = validate(conf, wrapper, params, str(image_dir),
                  jax.random.PRNGKey(0), num_images=2)
@@ -454,6 +556,6 @@ def test_best_lpips_requires_weights(tmp_path):
     conf = Config(model='conditional_continuous', unet_dim=8,
                   ddpm_unet_dim_mults='1,2', full_attn='False,True',
                   learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
-                  hr_image_size=16, batch_size=2, test_target='best_lpips')
+                  hr_image_size=16, lr_image_size=4, batch_size=2, test_target='best_lpips')
     with pytest.raises(NotImplementedError, match='lpips'):
         train(conf, 'unused', str(tmp_path / 'x'), total_steps=1)
