@@ -209,7 +209,12 @@ class Config:
     quantize: str = 'none'            # 'w8a8' -> int8-MXU U-Net convs
                                       # (inference; nn/quant.py)
     quantize_min_channels: int = 0    # only quantize blocks >= this wide
-    use_pallas_kernels: bool = False  # fused Pallas attention / GroupNorm+SiLU
+    use_pallas_kernels: bool = False  # round-1 fused Pallas attention /
+                                      # GroupNorm+SiLU (opt-in, net-neutral)
+    fused_linattn: bool = True        # whole-block Pallas linear attention
+                                      # (kernels/linattn_block.py; bf16 TPU
+                                      # inference only — trainer and mesh
+                                      # paths force the XLA formulation)
     mesh_shape: str = ''              # e.g. '4,2' -> (data, model); '' = all-data
     remat_unet: bool = False          # jax.checkpoint the U-Net stages (training)
     tile_size: int = 256

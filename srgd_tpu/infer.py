@@ -258,6 +258,10 @@ def build_model_and_opts(args):
         conf.quantize = 'none'
     conf.tile_size = args.tile_size
     conf.use_pallas_kernels = getattr(args, 'use_pallas', False)
+    if getattr(args, 'mesh', ''):
+        # GSPMD partitioning of the fused pallas_call is unproven on this
+        # deployment; mesh serving uses the identical-math XLA formulation
+        conf.fused_linattn = False
     if getattr(args, 'continuous_sampler', None):
         conf.continuous_sampler = args.continuous_sampler
 

@@ -1,0 +1,167 @@
+"""Fused whole-block linear attention (Pallas TPU).
+
+Covers the ENTIRE LinearAttention module in one kernel — RMSNorm -> qkv
+1x1 conv -> q/k softmax -> context/out contractions -> to_out 1x1 conv ->
+output RMSNorm (reference semantics: /root/reference/model.py:287-324) —
+with kernel boundaries at the module's own HBM materialization points
+(x in, out out).
+
+Why this wins where the round-1 kernels lost (docs/PERF.md "what did NOT
+work"): those kernels took the materialized qkv tensor as input, so XLA
+still paid the (b, n, 3*hidden) HBM round-trip and lost its operand
+fusions at the kernel edge. Here nothing between x and out ever touches
+HBM: the XLA path moves ~2.9 GB per 256^2-stage instance (qkv write/read,
+f32 softmax/denominator passes, context/out operands — measured ~4.2 ms);
+this kernel moves 3 reads of x + 1 write of out (~0.54 GB).
+
+Streaming structure over the sequence dim (grid = (b, 2, n_blocks),
+accumulators live in VMEM scratch across the sequential TPU grid):
+
+  phase A: for each n-block, recompute y = RMSNorm(x) and k, v = y @ Wk,
+           y @ Wv; accumulate the k-softmax (over n) statistics with
+           flash-attention-style online max rescaling:
+             m      <- max(m, colmax(k_blk))
+             z      <- z * exp(m_old - m) + colsum(exp(k_blk - m))
+             ctx    <- ctx * exp(m_old - m) + exp(k_blk - m)^T @ v_blk
+  phase B: normalize ctx once (head-block mask, / z, * dim_head^-0.5),
+           then per n-block: q = RMSNorm(x) @ Wq, per-head q softmax via
+           the block-diagonal-matmul denominator trick (layers.py), then
+           out = RMSNorm((softmax_q @ ctx) @ Wout + b) * g2 — written
+           straight to HBM.
+
+The per-head q softmax subtracts the global row max (exact: softmax is
+shift-invariant within each head for any row-shared constant). All
+normalization statistics are float32; MXU operands stream in bfloat16
+with float32 accumulation — the same numerics contract as the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _rmsnorm_rows(x_f32, g_scaled):
+    """x / max(||x||_2, 1e-12) * (g * sqrt(C)); rows = positions."""
+    norm = jnp.sqrt(jnp.sum(x_f32 * x_f32, axis=-1, keepdims=True))
+    return x_f32 / jnp.maximum(norm, 1e-12) * g_scaled
+
+
+def _head_mask(hidden: int, dim_head: int):
+    d = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0) // dim_head
+    e = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1) // dim_head
+    return (d == e)
+
+
+def _kernel(x_ref, g1_ref, wq_ref, wk_ref, wv_ref, wout_ref, bout_ref,
+            g2_ref, o_ref, m_ref, z_ref, ctx_ref, ctxn_ref,
+            *, dim_head: int, cdtype):
+    ph = pl.program_id(1)
+    ni = pl.program_id(2)
+    hidden = wq_ref.shape[1]
+
+    y = _rmsnorm_rows(x_ref[0].astype(jnp.float32), g1_ref[:]).astype(cdtype)
+
+    @pl.when(ph == 0)
+    def _phase_a():
+        @pl.when(ni == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, NEG)
+            z_ref[:] = jnp.zeros_like(z_ref)
+            ctx_ref[:] = jnp.zeros_like(ctx_ref)
+
+        k = jnp.dot(y, wk_ref[:], preferred_element_type=jnp.float32)
+        v = jnp.dot(y, wv_ref[:], preferred_element_type=jnp.float32
+                    ).astype(cdtype)
+        m_old = m_ref[0:1, :]
+        m_new = jnp.maximum(m_old, jnp.max(k, axis=0, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)                      # (1, hidden)
+        ek = jnp.exp(k - m_new)
+        z_ref[0:1, :] = z_ref[0:1, :] * alpha \
+            + jnp.sum(ek, axis=0, keepdims=True)
+        ctx_ref[:] = ctx_ref[:] * alpha.T + jax.lax.dot_general(
+            ek.astype(cdtype), v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[0:1, :] = m_new
+
+    @pl.when(ph == 1)
+    def _phase_b():
+        @pl.when(ni == 0)
+        def _():
+            mask = _head_mask(hidden, dim_head)
+            scale = dim_head ** -0.5
+            ctxn_ref[:] = jnp.where(
+                mask, ctx_ref[:] / z_ref[0:1, :].T * scale, 0.0
+            ).astype(cdtype)
+
+        q = jnp.dot(y, wq_ref[:], preferred_element_type=jnp.float32)
+        eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True)).astype(cdtype)
+        mask_f = _head_mask(hidden, dim_head).astype(cdtype)
+        denom = jnp.dot(eq, mask_f, preferred_element_type=jnp.float32)
+        attn = jnp.dot(eq, ctxn_ref[:], preferred_element_type=jnp.float32)
+        attn = (attn / denom).astype(cdtype)
+        o = jnp.dot(attn, wout_ref[:], preferred_element_type=jnp.float32)
+        o = o + bout_ref[:]
+        o_ref[0] = _rmsnorm_rows(o, g2_ref[:]).astype(o_ref.dtype)
+
+
+def _pick_block(n: int, c: int, cap: int = 2048) -> int:
+    """Largest power-of-two divisor of n, <= cap (VMEM-bounded)."""
+    bn = 1
+    while bn * 2 <= min(n, cap) and n % (bn * 2) == 0:
+        bn *= 2
+    return bn
+
+
+@functools.partial(jax.jit, static_argnames=('dim_head', 'interpret'))
+def fused_linattn_block(x, g1, wq, wk, wv, wout, bout, g2, *,
+                        dim_head: int = 32, interpret: bool = False):
+    """x: (b, n, c). g1/g2: (c,) RMSNorm gains. wq/wk/wv: (c, hidden).
+    wout: (hidden, c), bout: (c,). Returns (b, n, c) — the full
+    LinearAttention output (residual add stays with the caller)."""
+    b, n, c = x.shape
+    hidden = wq.shape[1]
+    cdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    bn = _pick_block(n, c)
+    nb = n // bn
+
+    g1s = (g1.astype(jnp.float32) * math.sqrt(c)).reshape(1, c)
+    g2s = (g2.astype(jnp.float32) * math.sqrt(c)).reshape(1, c)
+    bout2 = bout.astype(jnp.float32).reshape(1, c)
+
+    grid = (b, 2, nb)
+    kernel = functools.partial(_kernel, dim_head=dim_head, cdtype=cdtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bn, c), lambda bi, ph, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, c), lambda bi, ph, ni: (0, 0)),
+            pl.BlockSpec((c, hidden), lambda bi, ph, ni: (0, 0)),
+            pl.BlockSpec((c, hidden), lambda bi, ph, ni: (0, 0)),
+            pl.BlockSpec((c, hidden), lambda bi, ph, ni: (0, 0)),
+            pl.BlockSpec((hidden, c), lambda bi, ph, ni: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ph, ni: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, ph, ni: (0, 0)),
+        ],
+        # phase A parks the output window on block 0 (nothing is stored, the
+        # stale flush is overwritten when phase B rewrites every block)
+        out_specs=pl.BlockSpec(
+            (1, bn, c),
+            lambda bi, ph, ni: (bi, jnp.where(ph == 1, ni, 0), 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((8, hidden), jnp.float32),    # m (row 0 live)
+            pltpu.VMEM((8, hidden), jnp.float32),    # z (row 0 live)
+            pltpu.VMEM((hidden, hidden), jnp.float32),   # ctx accumulator
+            pltpu.VMEM((hidden, hidden), cdtype),        # normalized ctx
+        ],
+        interpret=interpret,
+    )(x, g1s, wq, wk, wv, wout, bout2, g2s)

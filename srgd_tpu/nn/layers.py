@@ -259,9 +259,51 @@ def _head_blockdiag(c: int, dim_head: int) -> jnp.ndarray:
     return jnp.asarray(np.kron(eye, np.ones((dim_head, dim_head), np.float32)))
 
 
+class _RMSNormGain(nn.Module):
+    """Parameter holder with RMSNorm's tree ('g' under this scope)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param('g', nn.initializers.ones, (self.dim,), jnp.float32)
+
+
+class _Conv1x1Weights(nn.Module):
+    """Parameter holder with nn.Conv's tree (1x1 'kernel' [+ 'bias'])."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (1, 1, self.in_dim, self.out_dim), jnp.float32)
+        b = (self.param('bias', nn.initializers.zeros,
+                        (self.out_dim,), jnp.float32)
+             if self.use_bias else None)
+        return k, b
+
+
+def _use_fused_linattn(n: int, hidden: int, dtype) -> bool:
+    """Whole-block Pallas kernel (kernels/linattn_block.py): TPU backend,
+    bf16 compute, lane-aligned geometry. CPU tests and fp32 parity runs take
+    the XLA path below (identical math)."""
+    return (dtype == jnp.bfloat16 and n % 128 == 0 and hidden % 128 == 0
+            and jax.default_backend() not in ('cpu',))
+
+
+
+
 class LinearAttention(nn.Module):
     """Linear attention with softmax-normalized q (over channel) and k (over
     sequence). Parity: /root/reference/model.py:287-324.
+
+    Weights are declared through parameter holders with the exact nn.Conv /
+    RMSNorm tree (checkpoints unchanged) so the fused whole-block Pallas
+    kernel and the XLA fallback share one set of params. The quantized and
+    legacy-pallas paths keep the original submodules (same tree).
     """
 
     dim: int
@@ -270,6 +312,11 @@ class LinearAttention(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     quant: Optional[str] = None
+    fused: bool = True   # whole-block Pallas kernel when the gate allows;
+                         # training (no Pallas autodiff) and mesh-sharded
+                         # serving (GSPMD partitioning of pallas_call is
+                         # unproven here) build with fused=False — same
+                         # math, same params
 
     @nn.compact
     def __call__(self, x):
@@ -277,19 +324,27 @@ class LinearAttention(nn.Module):
         n = h * w
         hidden = self.heads * self.dim_head
 
-        y = RMSNorm(self.dim, dtype=self.dtype, name='norm')(x)
-        qkv = _conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
-                    quant=self.quant, name='to_qkv')(y)
+        if self.quant is not None or self.use_pallas:
+            return self._legacy_path(x, b, h, w, c, n, hidden)
 
-        if self.use_pallas and n % 256 == 0:
-            from srgd_tpu.kernels.linear_attention import (
-                fused_linear_attention_qkv)
-            out = fused_linear_attention_qkv(qkv.reshape(b, n, 3 * hidden),
-                                             dim_head=self.dim_head)
-            out = out.reshape(b, h, w, hidden).astype(self.dtype)
-            out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name='to_out')(out)
-            return RMSNorm(self.dim, dtype=self.dtype, name='out_norm')(out)
+        g1 = _RMSNormGain(self.dim, name='norm')()
+        wqkv, _ = _Conv1x1Weights(c, hidden * 3, use_bias=False,
+                                  name='to_qkv')()
+        wout, bout = _Conv1x1Weights(hidden, self.dim, name='to_out')()
+        g2 = _RMSNormGain(self.dim, name='out_norm')()
 
+        if self.fused and _use_fused_linattn(n, hidden, self.dtype):
+            from srgd_tpu.kernels.linattn_block import fused_linattn_block
+            wq = wqkv[0, 0, :, :hidden].astype(self.dtype)
+            wk = wqkv[0, 0, :, hidden:2 * hidden].astype(self.dtype)
+            wv = wqkv[0, 0, :, 2 * hidden:].astype(self.dtype)
+            out = fused_linattn_block(
+                x.reshape(b, n, c).astype(self.dtype), g1,
+                wq, wk, wv, wout[0, 0].astype(self.dtype), bout, g2,
+                dim_head=self.dim_head)
+            return out.reshape(b, h, w, c)
+
+        # ---- XLA path (same math, same params) ----
         # TPU layout design: everything stays (b, n, C)-minor with the heads
         # packed in the channel dim (c = head*dim_head + d) — reshaping to
         # (b, n, heads, 32) relayouts the whole activation (measured ~21 ms of
@@ -298,11 +353,21 @@ class LinearAttention(nn.Module):
         # invariant within each head) and the per-head denominators come from
         # one block-diagonal matmul. The context/out contractions run full
         # C x C with cross-head terms zeroed by the same block-diagonal mask.
+        y = _rmsnorm_apply(x, g1, c, self.dtype)
+        qkv = jnp.einsum('bhwc,co->bhwo', y,
+                         wqkv[0, 0].astype(self.dtype))   # 1x1 conv
+        out = self._linattn_math(qkv.reshape(b, n, 3 * hidden), hidden)
+        out = out.reshape(b, h, w, hidden).astype(self.dtype)
+        out = jnp.einsum('bhwc,co->bhwo', out,
+                         wout[0, 0].astype(self.dtype)) + bout.astype(self.dtype)
+        return _rmsnorm_apply(out, g2, c, self.dtype)
+
+    def _linattn_math(self, qkv, hidden):
+        """qkv (b, n, 3*hidden) -> (b, n, hidden); the round-2 reformulation."""
         blk = _head_blockdiag(hidden, self.dim_head)
         hi = (jax.lax.Precision.DEFAULT if self.dtype == jnp.bfloat16
               else jax.lax.Precision.HIGHEST)
 
-        qkv = qkv.reshape(b, n, 3 * hidden)
         q = _f32(qkv[..., :hidden])
         k = _f32(qkv[..., hidden:2 * hidden])
         v = qkv[..., 2 * hidden:].astype(self.dtype)
@@ -316,18 +381,43 @@ class LinearAttention(nn.Module):
 
         # context[d, e] = sum_n kn[n, d] v[n, e] (cross-head terms masked);
         # out[n, e] = sum_d qn[n, d] context[d, e]. Big operands stream in
-        # compute dtype with f32 accumulation, as before.
+        # compute dtype with f32 accumulation.
         context = jnp.einsum('bnd,bne->bde', kn, v,
                              preferred_element_type=jnp.float32)
         context = (context * blk[None]).astype(self.dtype)
-        out = jnp.einsum('bnd,bde->bne', qn, context,
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(b, h, w, hidden).astype(self.dtype)
+        return jnp.einsum('bnd,bde->bne', qn, context,
+                          preferred_element_type=jnp.float32)
 
+    def _legacy_path(self, x, b, h, w, c, n, hidden):
+        """Original submodule-based path: QuantConv trees and the opt-in
+        round-1 Pallas kernels (same param layout as the holders above)."""
+        y = RMSNorm(self.dim, dtype=self.dtype, name='norm')(x)
+        qkv = _conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
+                    quant=self.quant, name='to_qkv')(y)
+
+        if self.use_pallas and n % 256 == 0:
+            from srgd_tpu.kernels.linear_attention import (
+                fused_linear_attention_qkv)
+            out = fused_linear_attention_qkv(qkv.reshape(b, n, 3 * hidden),
+                                             dim_head=self.dim_head)
+            out = out.reshape(b, h, w, hidden).astype(self.dtype)
+            out = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name='to_out')(out)
+            return RMSNorm(self.dim, dtype=self.dtype, name='out_norm')(out)
+
+        out = self._linattn_math(qkv.reshape(b, n, 3 * hidden), hidden)
+        out = out.reshape(b, h, w, hidden).astype(self.dtype)
         out = _conv(self.dim, (1, 1), dtype=self.dtype, quant=self.quant,
                     name='to_out')(out)
-        out = RMSNorm(self.dim, dtype=self.dtype, name='out_norm')(out)
-        return out
+        return RMSNorm(self.dim, dtype=self.dtype, name='out_norm')(out)
+
+
+def _rmsnorm_apply(x, g, dim, dtype):
+    """Functional RMSNorm with an externally-held gain (same math as the
+    RMSNorm module: f32 stats, torch F.normalize eps)."""
+    xf = _f32(x)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    out = xf / jnp.maximum(norm, 1e-12) * g * math.sqrt(dim)
+    return out.astype(dtype)
 
 
 class Attention(nn.Module):

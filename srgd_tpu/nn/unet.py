@@ -72,6 +72,9 @@ class SRUnet(nn.Module):
                                         # (shallow big-spatial stages gain least
                                         # from int8 and pay the most requant
                                         # bandwidth — docs/PERF.md)
+    fused_linattn: bool = True          # whole-block Pallas linear attention
+                                        # (kernels/linattn_block.py); off for
+                                        # training and mesh-sharded serving
 
     @property
     def downsample_factor(self) -> int:
@@ -96,7 +99,7 @@ class SRUnet(nn.Module):
         cls = self._block_cls(LinearAttention)
         return cls(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
                    dtype=self.dtype, use_pallas=self.use_pallas,
-                   quant=self._quant(dim), name=name)
+                   quant=self._quant(dim), fused=self.fused_linattn, name=name)
 
     @nn.compact
     def __call__(self, x, time, cond=None, class_label=None, class_mask=None):
@@ -223,4 +226,5 @@ def build_unet_from_config(conf, dtype=None) -> SRUnet:
         remat=conf.remat_unet,
         quant=None if conf.quantize == 'none' else conf.quantize,
         quant_min_channels=conf.quantize_min_channels,
+        fused_linattn=conf.fused_linattn,
     )

@@ -150,6 +150,9 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
             'val_realsrv3/val_drealsr require the RealSR-V3/DRealSR '
             'benchmark datasets, which cannot be downloaded here; place a '
             'local copy and point --val_dir at it instead')
+    # the fused linear-attention kernel has no Pallas autodiff path; the XLA
+    # formulation is mathematically identical and differentiable
+    conf.fused_linattn = False
     net = build_unet_from_config(conf)
     wrapper = build_wrapper(conf, net)
 

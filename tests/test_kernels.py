@@ -84,3 +84,39 @@ def test_unet_pallas_flag_parity_interpret():
     with pltpu.force_tpu_interpret_mode():
         got = net_p.apply(params, x, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_fused_linattn_block_interpret():
+    """Whole-block fused linear attention (kernels/linattn_block.py) ==
+    the module's XLA path, f32 tight and bf16 loose (rounding-order only)."""
+    from srgd_tpu.kernels.linattn_block import fused_linattn_block
+    from srgd_tpu.nn.layers import LinearAttention
+
+    b, hh, ww, c = 2, 16, 16, 128
+    n = hh * ww
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, hh, ww, c), jnp.float32)
+    mod = LinearAttention(c, dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    want = mod.apply(params, x)
+    p = params['params']
+    wqkv = p['to_qkv']['kernel'][0, 0]
+    got = fused_linattn_block(
+        x.reshape(b, n, c), p['norm']['g'],
+        wqkv[:, :128], wqkv[:, 128:256], wqkv[:, 256:],
+        p['to_out']['kernel'][0, 0], p['to_out']['bias'],
+        p['out_norm']['g'], dim_head=32,
+        interpret=True).reshape(b, hh, ww, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # online-max streaming across multiple n-blocks (n=1024 -> several
+    # blocks once bn caps): same outputs as one-shot math
+    b2, s = 1, 32
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (b2, s, s, c), jnp.float32)
+    want2 = mod.apply(params, x2)
+    got2 = fused_linattn_block(
+        x2.reshape(b2, s * s, c), p['norm']['g'],
+        wqkv[:, :128], wqkv[:, 128:256], wqkv[:, 256:],
+        p['to_out']['kernel'][0, 0], p['to_out']['bias'],
+        p['out_norm']['g'], dim_head=32,
+        interpret=True).reshape(b2, s, s, c)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-4)
