@@ -27,7 +27,12 @@ Env knobs: BENCH_LR_SIZE (512), BENCH_STEPS (8), BENCH_FULL_STEPS (250),
 BENCH_BATCH (8), BENCH_DTYPE (bfloat16), BENCH_TRACE_DIR (jax.profiler
 trace of the measured run, off by default), BENCH_QUANT ('w8a8'; 'none' =
 pure bf16, 'w8a8cal' = calibrated static scales over every conv),
-BENCH_QUANT_MIN_CH (512; 0 quantizes every stage).
+BENCH_QUANT_MIN_CH (512; 0 quantizes every stage), BENCH_MESH ('auto':
+when >1 device is visible, run tile-data-parallel over an all-data mesh —
+canvas row-sharded, weights replicated — and report PER-CHIP throughput;
+'0' forces single-device even on a pod slice). On any future v5e-N this
+produces the multi-chip scaling number with no code changes; per-chip
+batch stays BENCH_BATCH (the global tile minibatch is batch x n_devices).
 
 Per-phase wall-clock breakdown (init / compile+first / measure) prints on
 stderr via utils.profiling.PhaseTimer.
@@ -66,11 +71,18 @@ def main():
     assert not (quant and dtype != 'bfloat16'), \
         'BENCH_QUANT requires BENCH_DTYPE=bfloat16'
     quant_min_ch = int(os.environ.get('BENCH_QUANT_MIN_CH', 512))
+    n_dev = len(jax.devices())
+    mesh_env = os.environ.get('BENCH_MESH', 'auto')
+    use_mesh = (n_dev > 1) if mesh_env == 'auto' else bool(int(mesh_env))
     conf = ge._flagship_conf()
     conf.compute_dtype = dtype
     if quant:
         conf.quantize = 'w8a8'
         conf.quantize_min_channels = quant_min_ch
+    if use_mesh:
+        # the fused pallas blocks are single-device; the mesh path runs the
+        # identical-math XLA formulation under GSPMD
+        conf.fused_linattn = False
     net = build_unet_from_config(conf)
     wrapper = build_wrapper(conf, net)
 
@@ -95,12 +107,23 @@ def main():
             params = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
                                        cond_sample=cond * 2.0 - 1.0)
 
+    mesh = None
+    if use_mesh:
+        from srgd_tpu.parallel.mesh import (
+            canvas_sharding, make_mesh, replicated)
+        mesh = make_mesh((n_dev, 1))
+        params = jax.device_put(params, replicated(mesh))
+        cond = jax.device_put(cond, canvas_sharding(mesh))
+        batch = batch * n_dev     # global tile minibatch; BENCH_BATCH/chip
+
     def run(steps):
         # host-loop mode: per-parity jitted steps (cached on the wrapper);
         # the single-scan program exceeds remote-compile request limits
-        out = wrapper.tiled_sample(params, rng, cond, label,
-                                   batch_size=batch, tile_size=256,
-                                   num_sample_steps=steps, host_loop=True)
+        import contextlib
+        with (mesh if mesh is not None else contextlib.nullcontext()):
+            out = wrapper.tiled_sample(params, rng, cond, label,
+                                       batch_size=batch, tile_size=256,
+                                       num_sample_steps=steps, host_loop=True)
         # force a device->host transfer: block_until_ready does not reliably
         # synchronize execution through remote-relay TPU deployments
         float(out[0, 0, 0, 0])
@@ -120,7 +143,8 @@ def main():
     per_pair = meas_time / (meas_steps / 2)
     full_time = per_pair * (full_steps / 2)
     out_mpix = (hr * hr) / 1e6
-    throughput = out_mpix / full_time  # MPix/s/chip at 250 steps
+    # per-chip throughput at 250 steps (aggregate / n_devices under a mesh)
+    throughput = out_mpix / full_time / (n_dev if use_mesh else 1)
 
     # cost model for the baseline estimate (see module docstring):
     # FLOPs = per-tile U-Net forward flops x executed tiles (incl. any chunk
@@ -157,6 +181,8 @@ def main():
         depth = f'-deep{quant_min_ch}' if quant_min_ch else ''
         mode = {'w8a8': 'bf16+int8', 'w8a8cal': 'bf16+int8cal'}.get(
             quant, quant) + depth
+    if use_mesh:
+        mode += f' mesh{n_dev}x1'
     print(json.dumps({
         'metric': f'4x-SR megapixels/sec/chip @512px LR, 250 steps, dim128 {mode}',
         'value': round(throughput, 4),

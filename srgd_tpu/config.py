@@ -231,11 +231,24 @@ class Config:
 def load_config(config_file) -> Config:
     """YAML keys override dataclass defaults; unknown keys are a TypeError.
 
-    Parity: /root/reference/config.py:191-194.
+    Parity: /root/reference/config.py:191-194. One divergence: YAML 1.1
+    parses bare scientific notation ('lr: 1e-4' — the SHIPPED reference
+    YAML's spelling) as a *string*; the reference never notices because its
+    released code never reads lr, but our trainer does, so float/int
+    dataclass fields coerce numeric strings after load.
     """
     with open(config_file, 'r') as fp:
         opts = yaml.safe_load(fp)
-    return Config(**opts)
+    conf = Config(**opts)
+    for f in dc_fields(Config):
+        v = getattr(conf, f.name)
+        if isinstance(v, str) and f.type in ('float', 'int', float, int):
+            try:
+                setattr(conf, f.name, float(v) if f.type in ('float', float)
+                        else int(v))
+            except ValueError:
+                pass  # leave non-numeric strings for downstream validation
+    return conf
 
 
 def config_field_names():

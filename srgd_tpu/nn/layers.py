@@ -425,7 +425,13 @@ class Attention(nn.Module):
 
     Parity: /root/reference/model.py:326-355 + library Attend (plain SDPA,
     scale = dim_head^-0.5). Softmax in float32. ``use_pallas`` switches to the
-    fused Pallas kernel (same math) when enabled.
+    round-1 SDPA-only Pallas kernel; ``fused`` (default) runs the whole block
+    through kernels/attn_block.py on TPU/bf16.
+
+    The full-attention instances sit at the 32x32 bottleneck where the 1x1
+    convs are a negligible FLOP share, so attention always computes in the
+    net dtype even under int8 quantization (``quant`` accepted for signature
+    compat; int8 requant bandwidth costs more than it saves at n=1024).
     """
 
     dim: int
@@ -434,6 +440,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     quant: Optional[str] = None
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -441,9 +448,25 @@ class Attention(nn.Module):
         n = h * w
         hidden = self.heads * self.dim_head
 
-        y = RMSNorm(self.dim, dtype=self.dtype, name='norm')(x)
-        qkv = _conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
-                    quant=self.quant, name='to_qkv')(y)
+        g1 = _RMSNormGain(self.dim, name='norm')()
+        wqkv, _ = _Conv1x1Weights(c, hidden * 3, use_bias=False,
+                                  name='to_qkv')()
+        wout, bout = _Conv1x1Weights(hidden, self.dim, name='to_out')()
+
+        fused_ok = (self.fused and self.dtype == jnp.bfloat16
+                    and n <= 2048 and n % 8 == 0 and hidden % 128 == 0
+                    and jax.default_backend() not in ('cpu',))
+        if fused_ok:
+            from srgd_tpu.kernels.attn_block import fused_attn_block
+            out = fused_attn_block(
+                x.reshape(b, n, c).astype(self.dtype), g1,
+                wqkv[0, 0].astype(self.dtype), wout[0, 0].astype(self.dtype),
+                bout, heads=self.heads, dim_head=self.dim_head)
+            return out.reshape(b, h, w, c)
+
+        y = _rmsnorm_apply(x, g1, c, self.dtype)
+        qkv = jnp.einsum('bhwc,co->bhwo', y,
+                         wqkv[0, 0].astype(self.dtype))   # 1x1 conv
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # (b, heads, n, d)
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
@@ -461,8 +484,8 @@ class Attention(nn.Module):
                              preferred_element_type=jnp.float32)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden).astype(self.dtype)
-        out = _conv(self.dim, (1, 1), dtype=self.dtype, quant=self.quant,
-                    name='to_out')(out)
+        out = jnp.einsum('bhwc,co->bhwo', out,
+                         wout[0, 0].astype(self.dtype)) + bout.astype(self.dtype)
         return out
 
 

@@ -95,7 +95,8 @@ class SRUnet(nn.Module):
             cls = self._block_cls(Attention)
             return cls(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
                        dtype=self.dtype, quant=self._quant(dim),
-                       use_pallas=self.use_pallas_attention, name=name)
+                       use_pallas=self.use_pallas_attention,
+                       fused=self.fused_linattn, name=name)
         cls = self._block_cls(LinearAttention)
         return cls(dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
                    dtype=self.dtype, use_pallas=self.use_pallas,
