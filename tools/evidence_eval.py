@@ -1,0 +1,113 @@
+"""End-to-end SR quality of the trained evidence model (VERDICT r1 #2/#10).
+
+Loads the dim-64 flagship-layout checkpoint trained on the procedural
+dataset (conf/trained_evidence_dim64_synth.yaml), runs the REAL tiled
+sampler on held-out synthetic images degraded by the training pipeline,
+and reports:
+
+  1. PSNR(SR, HR) vs PSNR(bicubic-chain condition, HR) per degradation
+     class — the model must beat its own input for the weights to count
+     as "actually denoising";
+  2. the DDIM step ladder (25/50/250 steps) vs 250-step ancestral,
+     PSNR vs ground truth per mode — evidence for the continuous-family
+     DDIM serving knob ("usable at far fewer steps").
+
+Env: EV_CKPT (/tmp/evidence_run/evidence_dim64_synth), EV_CONF
+(conf/trained_evidence_dim64_synth.yaml), EV_HR (512 — HR eval size),
+EV_IMAGES (2), EV_SEED (12345 — held-out generator seed).
+Run on the TPU chip: python tools/evidence_eval.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def psnr(a, b):
+    mse = float(np.mean((np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64)) ** 2))
+    return -10 * np.log10(max(mse, 1e-20))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from srgd_tpu.checkpoint.io import restore_params
+    from srgd_tpu.config import load_config
+    from srgd_tpu.factory import build_wrapper
+    from srgd_tpu.nn.unet import build_unet_from_config
+    from srgd_tpu.train.data import DegradeConfig, degrade
+    from tools.make_synth_dataset import make_image
+
+    ckpt = os.environ.get('EV_CKPT', '/tmp/evidence_run/evidence_dim64_synth')
+    conf = load_config(os.environ.get(
+        'EV_CONF', 'conf/trained_evidence_dim64_synth.yaml'))
+    hr_size = int(os.environ.get('EV_HR', 512))
+    n_images = int(os.environ.get('EV_IMAGES', 2))
+    seed = int(os.environ.get('EV_SEED', 12345))
+
+    conf.compute_dtype = 'bfloat16'
+    net = build_unet_from_config(conf)
+    wrappers = {}
+    for s in ('ancestral', 'ddim'):
+        conf.continuous_sampler = s
+        wrappers[s] = build_wrapper(conf, net)
+    raw = restore_params(ckpt)
+    step = int(np.asarray(raw.get('step', 0)))
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.bfloat16),
+        {'params': raw['ema_params']['params']})
+    print(f'loaded EMA weights at train step {step} from {ckpt}', flush=True)
+
+    gen = np.random.default_rng(seed)
+    dcfg = DegradeConfig.from_conf(conf)
+    rng = jax.random.PRNGKey(71)
+
+    def sample(cond01, label, steps, sampler):
+        t0 = time.time()
+        out = wrappers[sampler].tiled_sample(
+            params, rng, jnp.asarray(cond01)[None], jnp.asarray([label]),
+            batch_size=8, tile_size=256, num_sample_steps=steps,
+            host_loop=True)
+        out = np.asarray(out[0], np.float32)
+        return out, time.time() - t0
+
+    # -- 1. SR beats its degraded input, per class -------------------------
+    classes = {0: 'realsr', 1: 'denoise', 2: 'sr'}
+    for label, cname in classes.items():
+        d_in, d_sr = [], []
+        for i in range(n_images):
+            hr = make_image(gen, hr_size)              # uint8 HxWx3
+            cond = degrade(hr, label, gen, cfg=dcfg)    # degraded, HR-sized
+            hr01 = hr.astype(np.float32) / 255.0
+            cond01 = cond.astype(np.float32) / 255.0
+            out, dt = sample(cond01, label, 250, 'ancestral')
+            d_in.append(psnr(cond01, hr01))
+            d_sr.append(psnr(out, hr01))
+        print(f'class {label} ({cname}): input {np.mean(d_in):.2f} dB -> '
+              f'SR {np.mean(d_sr):.2f} dB over {n_images} held-out images '
+              f'({hr_size}px, 250 ancestral steps)', flush=True)
+
+    # -- 2. DDIM step ladder ----------------------------------------------
+    label = 0
+    hr = make_image(gen, hr_size)
+    cond = degrade(hr, label, gen, cfg=dcfg)
+    hr01 = hr.astype(np.float32) / 255.0
+    cond01 = cond.astype(np.float32) / 255.0
+    base, dt = sample(cond01, label, 250, 'ancestral')
+    print(f'ancestral 250: {psnr(base, hr01):.2f} dB vs HR ({dt:.0f}s)',
+          flush=True)
+    for steps in (250, 50, 25):
+        out, dt = sample(cond01, label, steps, 'ddim')
+        print(f'ddim {steps:3d}: {psnr(out, hr01):.2f} dB vs HR, '
+              f'{psnr(out, base):.2f} dB vs ancestral-250 ({dt:.0f}s)',
+              flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -9,7 +9,10 @@ Env knobs: QP_LR (128), QP_STEPS (50), QP_DIM (128),
 QP_MODES ('float32,bfloat16'; 'w8a8' = bf16 + calibrated int8-MXU convs,
 'w8a8dyn' = same with dynamic activation scales), QP_QMIN (0 — only
 quantize blocks >= this many channels), QP_WSEED/QP_CSEED (0/1 — weight
-and condition seeds, for replicating results across draws).
+and condition seeds, for replicating results across draws),
+QP_CONF (YAML path overriding the flagship conf; with it QP_DIM is
+ignored), QP_CKPT (orbax train-checkpoint dir: use its TRAINED ema
+weights instead of random init — the trained-weights ladder).
 Run on the TPU chip: python tools/quality_probe.py
 """
 
@@ -44,7 +47,12 @@ def main():
 
     modes = os.environ.get('QP_MODES', 'float32,bfloat16').split(',')
 
-    conf = ge._flagship_conf(unet_dim=dim)
+    if os.environ.get('QP_CONF'):
+        from srgd_tpu.config import load_config
+        conf = load_config(os.environ['QP_CONF'])
+    else:
+        conf = ge._flagship_conf(unet_dim=dim)
+    ckpt = os.environ.get('QP_CKPT', '')
     outs = {}
     for mode in modes:
         is_q = mode.startswith('w8a8')
@@ -53,10 +61,17 @@ def main():
         conf.quantize_min_channels = int(os.environ.get('QP_QMIN', 0))
         net = build_unet_from_config(conf)
         wrapper = build_wrapper(conf, net)
-        params = jax.jit(lambda k: net.init(
-            k, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,)),
-            cond=jnp.zeros((1, 256, 256, 3)),
-            class_label=jnp.zeros((1,), jnp.int32)))(jax.random.PRNGKey(wseed))
+        if ckpt:
+            from srgd_tpu.checkpoint.io import restore_params
+            raw = restore_params(ckpt)
+            params = {'params': raw['ema_params']['params']}
+            params = jax.tree.map(jnp.asarray, params)
+        else:
+            params = jax.jit(lambda k: net.init(
+                k, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1,)),
+                cond=jnp.zeros((1, 256, 256, 3)),
+                class_label=jnp.zeros((1,), jnp.int32)))(
+                    jax.random.PRNGKey(wseed))
         if conf.compute_dtype == 'bfloat16':
             params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
         if mode == 'w8a8':
