@@ -84,3 +84,26 @@ def test_tpu_serving_yaml_same_model_different_execution():
     assert jax.tree.structure(sb) == jax.tree.structure(ss)
     assert [a.shape for a in jax.tree.leaves(sb)] == \
         [a.shape for a in jax.tree.leaves(ss)]
+
+
+def test_numeric_string_coercion():
+    """YAML 1.1 parses 'lr: 1e-4' (the shipped reference YAML's spelling) as
+    a string; float/int fields coerce after load so the trainer gets real
+    numbers. Non-numeric strings survive for downstream validation."""
+    import tempfile
+
+    from srgd_tpu.config import load_config
+
+    with tempfile.NamedTemporaryFile('w', suffix='.yaml', delete=False) as f:
+        f.write('lr: 1e-4\nmin_lr: 1e-7\nepochs: "300"\nprefix: 1e-4\n')
+        path = f.name
+    conf = load_config(path)
+    assert conf.lr == 1e-4 and isinstance(conf.lr, float)
+    assert conf.min_lr == 1e-7
+    assert conf.epochs == 300 and isinstance(conf.epochs, int)
+    assert conf.prefix == '1e-4'        # str field: untouched
+
+    # the real shipped reference YAML's lr arrives as a float
+    conf = load_config(
+        '/root/reference/conf/conditional_continuous_linear_df8kost_dim128.yaml')
+    assert conf.lr == 1e-4 and isinstance(conf.lr, float)
