@@ -164,7 +164,11 @@ class SamplerCache:
         if self.mesh is not None:
             from srgd_tpu.parallel.mesh import canvas_sharding
             cond = jax.device_put(cond, canvas_sharding(self.mesh))
-            with self.mesh:
+            # set_mesh makes the ambient mesh visible at trace time so the
+            # fused Pallas blocks can shard_map over the data axis
+            # (layers._fused_shard_wrap); the legacy `with mesh` context
+            # keeps PartitionSpec axis-name resolution for the tiled sampler
+            with jax.sharding.set_mesh(self.mesh), self.mesh:
                 out = jitted(self.params, rng, cond) if label is None else \
                     jitted(self.params, rng, cond, jnp.asarray(label))
             return np.asarray(out)
@@ -258,10 +262,9 @@ def build_model_and_opts(args):
         conf.quantize = 'none'
     conf.tile_size = args.tile_size
     conf.use_pallas_kernels = getattr(args, 'use_pallas', False)
-    if getattr(args, 'mesh', ''):
-        # GSPMD partitioning of the fused pallas_call is unproven on this
-        # deployment; mesh serving uses the identical-math XLA formulation
-        conf.fused_linattn = False
+    # --mesh keeps fused_linattn on: the fused blocks run per-shard under
+    # shard_map over the data axis (layers._fused_shard_wrap), with an
+    # automatic XLA fallback when the tile batch doesn't divide it
     if getattr(args, 'continuous_sampler', None):
         conf.continuous_sampler = args.continuous_sampler
 

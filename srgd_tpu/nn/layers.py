@@ -17,6 +17,7 @@ All three are reproduced exactly below so converted conv kernels line up.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional
 
@@ -286,12 +287,49 @@ class _Conv1x1Weights(nn.Module):
         return k, b
 
 
+def _pallas_backend_ok() -> bool:
+    """Fused whole-block kernels need a real TPU backend; CPU tests
+    monkeypatch this (with force_tpu_interpret_mode) to exercise them."""
+    return jax.default_backend() not in ('cpu',)
+
+
 def _use_fused_linattn(n: int, hidden: int, dtype) -> bool:
     """Whole-block Pallas kernel (kernels/linattn_block.py): TPU backend,
     bf16 compute, lane-aligned geometry. CPU tests and fp32 parity runs take
     the XLA path below (identical math)."""
     return (dtype == jnp.bfloat16 and n % 128 == 0 and hidden % 128 == 0
-            and jax.default_backend() not in ('cpu',))
+            and _pallas_backend_ok())
+
+
+def _fused_shard_wrap(b: int):
+    """Mesh gate for the fused whole-block kernels.
+
+    The kernels are pure per-batch-element maps, so under a mesh they run
+    per-shard via shard_map (batch over 'data', weights replicated) instead
+    of letting GSPMD try to partition the pallas_call itself. Requires the
+    caller to have set the ambient mesh (jax.sharding.set_mesh), which the
+    --mesh serving path does.
+
+    Returns None (no mesh / trivial data axis: call the kernel unwrapped),
+    a wrapper callable (shard over 'data'), or False (mesh present but the
+    batch doesn't divide the data axis: take the XLA path, which GSPMD
+    partitions freely)."""
+    am = jax.sharding.get_abstract_mesh()
+    if am.empty or 'data' not in am.shape:
+        return None
+    dp = am.shape['data']
+    if dp == 1:
+        return None
+    if b % dp != 0:
+        return False
+
+    def wrap(fn, x, *ws):
+        from jax.sharding import PartitionSpec as P
+        return jax.shard_map(
+            fn,
+            in_specs=(P('data', None, None),) + (P(),) * len(ws),
+            out_specs=P('data', None, None), check_vma=False)(x, *ws)
+    return wrap
 
 
 
@@ -313,10 +351,10 @@ class LinearAttention(nn.Module):
     use_pallas: bool = False
     quant: Optional[str] = None
     fused: bool = True   # whole-block Pallas kernel when the gate allows;
-                         # training (no Pallas autodiff) and mesh-sharded
-                         # serving (GSPMD partitioning of pallas_call is
-                         # unproven here) build with fused=False — same
-                         # math, same params
+                         # training (no Pallas autodiff) builds with
+                         # fused=False — same math, same params. Under an
+                         # ambient mesh the kernel runs per-shard via
+                         # shard_map (_fused_shard_wrap)
 
     @nn.compact
     def __call__(self, x):
@@ -334,15 +372,18 @@ class LinearAttention(nn.Module):
         g2 = _RMSNormGain(self.dim, name='out_norm')()
 
         if self.fused and _use_fused_linattn(n, hidden, self.dtype):
-            from srgd_tpu.kernels.linattn_block import fused_linattn_block
-            wq = wqkv[0, 0, :, :hidden].astype(self.dtype)
-            wk = wqkv[0, 0, :, hidden:2 * hidden].astype(self.dtype)
-            wv = wqkv[0, 0, :, 2 * hidden:].astype(self.dtype)
-            out = fused_linattn_block(
-                x.reshape(b, n, c).astype(self.dtype), g1,
-                wq, wk, wv, wout[0, 0].astype(self.dtype), bout, g2,
-                dim_head=self.dim_head)
-            return out.reshape(b, h, w, c)
+            wrap = _fused_shard_wrap(b)
+            if wrap is not False:
+                from srgd_tpu.kernels.linattn_block import fused_linattn_block
+                wq = wqkv[0, 0, :, :hidden].astype(self.dtype)
+                wk = wqkv[0, 0, :, hidden:2 * hidden].astype(self.dtype)
+                wv = wqkv[0, 0, :, 2 * hidden:].astype(self.dtype)
+                call = functools.partial(fused_linattn_block,
+                                         dim_head=self.dim_head)
+                args = (x.reshape(b, n, c).astype(self.dtype), g1,
+                        wq, wk, wv, wout[0, 0].astype(self.dtype), bout, g2)
+                out = call(*args) if wrap is None else wrap(call, *args)
+                return out.reshape(b, h, w, c)
 
         # ---- XLA path (same math, same params) ----
         # TPU layout design: everything stays (b, n, C)-minor with the heads
@@ -455,14 +496,18 @@ class Attention(nn.Module):
 
         fused_ok = (self.fused and self.dtype == jnp.bfloat16
                     and n <= 2048 and n % 8 == 0 and hidden % 128 == 0
-                    and jax.default_backend() not in ('cpu',))
+                    and _pallas_backend_ok())
         if fused_ok:
-            from srgd_tpu.kernels.attn_block import fused_attn_block
-            out = fused_attn_block(
-                x.reshape(b, n, c).astype(self.dtype), g1,
-                wqkv[0, 0].astype(self.dtype), wout[0, 0].astype(self.dtype),
-                bout, heads=self.heads, dim_head=self.dim_head)
-            return out.reshape(b, h, w, c)
+            wrap = _fused_shard_wrap(b)
+            if wrap is not False:
+                from srgd_tpu.kernels.attn_block import fused_attn_block
+                call = functools.partial(fused_attn_block, heads=self.heads,
+                                         dim_head=self.dim_head)
+                args = (x.reshape(b, n, c).astype(self.dtype), g1,
+                        wqkv[0, 0].astype(self.dtype),
+                        wout[0, 0].astype(self.dtype), bout)
+                out = call(*args) if wrap is None else wrap(call, *args)
+                return out.reshape(b, h, w, c)
 
         y = _rmsnorm_apply(x, g1, c, self.dtype)
         qkv = jnp.einsum('bhwc,co->bhwo', y,

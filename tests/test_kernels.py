@@ -120,3 +120,63 @@ def test_fused_linattn_block_interpret():
         p['out_norm']['g'], dim_head=32,
         interpret=True).reshape(b2, s, s, c)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-4)
+
+
+def test_fused_blocks_under_mesh_shard_map(monkeypatch):
+    """With an ambient mesh set (jax.sharding.set_mesh, as the --mesh serving
+    path does), the fused whole-block kernels run per-shard via shard_map over
+    the data axis and match the unsharded kernel bitwise."""
+    import functools
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from srgd_tpu.kernels import attn_block, linattn_block
+    from srgd_tpu.nn import layers
+
+    monkeypatch.setattr(layers, '_pallas_backend_ok', lambda: True)
+    # interpret=True on the kernel entry points (per-call interpret is orders
+    # of magnitude faster than force_tpu_interpret_mode under shard_map)
+    monkeypatch.setattr(
+        linattn_block, 'fused_linattn_block',
+        functools.partial(linattn_block.fused_linattn_block, interpret=True))
+    monkeypatch.setattr(
+        attn_block, 'fused_attn_block',
+        functools.partial(attn_block.fused_attn_block, interpret=True))
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ('data', 'model'))
+
+    for Mod, hw in ((layers.LinearAttention, 16), (layers.Attention, 8)):
+        mod = Mod(dim=128, dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, hw, hw, 128),
+                              jnp.bfloat16)
+        params = mod.init(jax.random.PRNGKey(1), x)
+        ref = jax.jit(mod.apply)(params, x)
+        xs = jax.device_put(x, NamedSharding(mesh, P('data')))
+        with jax.sharding.set_mesh(mesh):
+            got = jax.jit(mod.apply)(params, xs)
+        assert got.sharding.spec == P('data')
+        np.testing.assert_array_equal(
+            np.asarray(ref, np.float32), np.asarray(got, np.float32))
+
+
+def test_fused_mesh_indivisible_batch_falls_back(monkeypatch):
+    """Batch that doesn't divide the data axis takes the XLA formulation
+    (same math) instead of the fused kernel; still correct under the mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from srgd_tpu.nn import layers
+
+    monkeypatch.setattr(layers, '_pallas_backend_ok', lambda: True)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ('data', 'model'))
+
+    mod = layers.LinearAttention(128, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (6, 16, 16, 128),
+                          jnp.bfloat16)
+    params = layers.LinearAttention(
+        128, dtype=jnp.bfloat16, fused=False).init(jax.random.PRNGKey(1), x)
+    want = jax.jit(layers.LinearAttention(
+        128, dtype=jnp.bfloat16, fused=False).apply)(params, x)
+    xs = jax.device_put(x, NamedSharding(mesh, P()))
+    with jax.sharding.set_mesh(mesh):
+        # 6 % 4 != 0 -> _fused_shard_wrap returns False -> XLA path; no
+        # pallas_call is traced (would fail on this CPU backend if it were,
+        # since no interpret forcing is active here)
+        got = jax.jit(mod.apply)(params, xs)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=1e-2)
