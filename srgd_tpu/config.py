@@ -141,10 +141,9 @@ class Config:
     momentum: float = 0.9
     nesterov: bool = False
     amsgrad: bool = False
-    madgrad_decoupled_decay: bool = True  # accepted for compat; ignored —
-                                          # only meaningful with optimizer:
-                                          # madgrad, which trainer.py rejects
-                                          # (unreleased reference path)
+    madgrad_decoupled_decay: bool = True  # AdamW-style decay inside
+                                          # optimizer: madgrad
+                                          # (train/madgrad.py)
 
     # scheduler
     epochs: int = 300

@@ -80,6 +80,11 @@ def make_optimizer(conf: Config, steps_per_epoch: int = 1000):
         tx = (optax.amsgrad(sched) if conf.amsgrad else optax.adam(sched))
     elif conf.optimizer == 'sgd':
         tx = optax.sgd(sched, momentum=conf.momentum, nesterov=conf.nesterov)
+    elif conf.optimizer == 'madgrad':
+        from srgd_tpu.train.madgrad import madgrad
+        tx = madgrad(sched, momentum=conf.momentum,
+                     weight_decay=conf.weight_decay,
+                     decoupled_decay=conf.madgrad_decoupled_decay)
     else:
         raise ValueError(f'unknown optimizer {conf.optimizer}')
     if conf.scheduler == 'ReduceLROnPlateau':
