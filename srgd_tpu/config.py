@@ -85,8 +85,9 @@ class Config:
 
     val_realsrv3: bool = False
     val_drealsr: bool = False
-    val_realsrv3_scale: int = 4
-    val_drealsr_scale: int = 4
+    val_realsrv3_scale: int = 4  # only meaningful with val_realsrv3 /
+    val_drealsr_scale: int = 4   # val_drealsr, which raise (datasets not
+                                 # fetchable here; train/loop.py)
 
     image_size: int = 128
     crop_size: int = 256

@@ -117,6 +117,34 @@ def _load_lpips_or_raise(conf):
 def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
           log_every: int = 50, save_every: int = 500, mesh_shape=None,
           resume: bool = True, val_dir: str = None):
+    conditional = 'conditional' in conf.model
+    if conf.log_dir:
+        # reference config.py:187 — its (unreleased) trainer logs under
+        # log_dir; mirror that with a plain-text run log alongside stdout.
+        # A relative log_dir lands inside out_dir so runs stay self-contained.
+        ldir = (conf.log_dir if os.path.isabs(conf.log_dir)
+                else os.path.join(out_dir, conf.log_dir))
+        os.makedirs(ldir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(ldir, 'train.log'))
+        fh.setFormatter(logging.Formatter('%(asctime)s %(name)s %(message)s'))
+        logger.addHandler(fh)
+        if logger.getEffectiveLevel() > logging.INFO:
+            logger.setLevel(logging.INFO)  # progress lines reach the file
+                                           # even without basicConfig (library
+                                           # use; the CLI sets INFO anyway)
+        try:
+            return _train_inner(conf, data_dir, out_dir, total_steps,
+                                log_every, save_every, mesh_shape, resume,
+                                val_dir, conditional)
+        finally:
+            logger.removeHandler(fh)
+            fh.close()
+    return _train_inner(conf, data_dir, out_dir, total_steps, log_every,
+                        save_every, mesh_shape, resume, val_dir, conditional)
+
+
+def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
+                 mesh_shape, resume, val_dir, conditional):
     import jax
     import jax.numpy as jnp
 
@@ -126,8 +154,6 @@ def train(conf, data_dir: str, out_dir: str, total_steps: int = 1000,
     from srgd_tpu.train.data import DegradationDataset
     from srgd_tpu.train.trainer import (
         TrainState, create_train_state, make_optimizer, make_train_step)
-
-    conditional = 'conditional' in conf.model
     if conf.quantize != 'none':
         # QuantConv rounds with no straight-through estimator, so training a
         # quantized net gets ~zero conv gradients and silently fails to learn.

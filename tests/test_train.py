@@ -624,3 +624,22 @@ def test_madgrad_from_config_steps_and_honors_decay_knob():
         assert np.all(np.isfinite(np.asarray(params['w'])))
         outs[dd] = np.asarray(params['w'])
     assert not np.allclose(outs[True], outs[False])
+
+
+def test_log_dir_writes_train_log(image_dir, tmp_path):
+    """conf.log_dir (reference config.py:187) produces a run log file;
+    relative paths resolve inside out_dir so runs are self-contained."""
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.loop import train
+
+    conf = Config(model='continuous', unet_dim=8, ddpm_unet_dim_mults='1,2',
+                  full_attn='False,True', learned_sinusoidal_cond=True,
+                  learned_sinusoidal_dim=4, hr_image_size=32,
+                  lr_image_size=8, batch_size=2, num_sample_steps=2,
+                  epochs=1, warmup_epochs=0, num_workers=0)
+    out = tmp_path / 'run'
+    train(conf, str(image_dir), str(out), total_steps=1, log_every=1,
+          save_every=10, resume=False)
+    log = out / 'logs' / 'train.log'
+    assert log.exists()
+    assert 'step 1 loss' in log.read_text()
