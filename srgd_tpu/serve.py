@@ -306,6 +306,16 @@ class Server:
         with self.stats_lock:
             self.stats['errors'] += 1
 
+    def stats_snapshot(self):
+        """Counters for /stats (JSON) and /metrics (Prometheus text)."""
+        with self.stats_lock:
+            s = dict(self.stats)
+        s['uptime_seconds'] = time.time() - s.pop('started')
+        s['quarantined'] = len(self.quarantined)
+        if self.batcher is not None:
+            s.update(self.batcher.stats)
+        return s
+
     # -- one request -------------------------------------------------------
     def _sample_batch(self, conds, labels):
         """(B, H, W, C) [0,1] -> (B, 4H, 4W, C); the BatchingQueue worker's
@@ -504,12 +514,27 @@ class Server:
                                      'busy': server.lock.locked(),
                                      **server.model_info})
                 elif path == '/stats':
-                    s = dict(server.stats)
-                    s['uptime_seconds'] = time.time() - s.pop('started')
-                    s['quarantined'] = len(server.quarantined)
-                    if server.batcher is not None:
-                        s.update(server.batcher.stats)
-                    self._json(200, s)
+                    self._json(200, server.stats_snapshot())
+                elif path == '/metrics':
+                    # Prometheus text exposition of the same counters
+                    lines = []
+                    for k, v in sorted(server.stats_snapshot().items()):
+                        if isinstance(v, bool) or not isinstance(v, (int, float)):
+                            continue
+                        kind = ('gauge' if k in ('uptime_seconds',
+                                                 'quarantined', 'busy')
+                                else 'counter')
+                        lines.append(f'# TYPE srgd_{k} {kind}')
+                        lines.append(f'srgd_{k} {float(v):g}')
+                    lines.append('# TYPE srgd_busy gauge')
+                    lines.append(f'srgd_busy {int(server.lock.locked())}')
+                    body = ('\n'.join(lines) + '\n').encode()
+                    self.send_response(200)
+                    self.send_header('Content-Type',
+                                     'text/plain; version=0.0.4')
+                    self.send_header('Content-Length', str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._json(404, {'error': 'not found'})
 

