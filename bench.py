@@ -27,7 +27,8 @@ Env knobs: BENCH_LR_SIZE (512), BENCH_STEPS (8), BENCH_FULL_STEPS (250),
 BENCH_BATCH (8), BENCH_DTYPE (bfloat16), BENCH_TRACE_DIR (jax.profiler
 trace of the measured run, off by default), BENCH_QUANT ('w8a8'; 'none' =
 pure bf16, 'w8a8cal' = calibrated static scales over every conv),
-BENCH_QUANT_MIN_CH (512; 0 quantizes every stage), BENCH_MESH ('auto':
+BENCH_QUANT_MIN_CH (512; 0 quantizes every stage), BENCH_QUANT_SMOOTH
+(0.0; >0 = SmoothQuant alpha, nn/quant.py), BENCH_MESH ('auto':
 when >1 device is visible, run tile-data-parallel over an all-data mesh —
 canvas row-sharded, weights replicated — and report PER-CHIP throughput;
 '0' forces single-device even on a pod slice). On any future v5e-N this
@@ -71,6 +72,7 @@ def main():
     assert not (quant and dtype != 'bfloat16'), \
         'BENCH_QUANT requires BENCH_DTYPE=bfloat16'
     quant_min_ch = int(os.environ.get('BENCH_QUANT_MIN_CH', 512))
+    quant_smooth = float(os.environ.get('BENCH_QUANT_SMOOTH', 0.0))
     n_dev = len(jax.devices())
     mesh_env = os.environ.get('BENCH_MESH', 'auto')
     use_mesh = (n_dev > 1) if mesh_env == 'auto' else bool(int(mesh_env))
@@ -79,6 +81,7 @@ def main():
     if quant:
         conf.quantize = 'w8a8'
         conf.quantize_min_channels = quant_min_ch
+        conf.quantize_smooth_alpha = quant_smooth
     if use_mesh:
         # the fused pallas blocks are single-device; the mesh path runs the
         # identical-math XLA formulation under GSPMD

@@ -209,6 +209,8 @@ class Config:
     quantize: str = 'none'            # 'w8a8' -> int8-MXU U-Net convs
                                       # (inference; nn/quant.py)
     quantize_min_channels: int = 0    # only quantize blocks >= this wide
+    quantize_smooth_alpha: float = 0.0  # >0: SmoothQuant per-input-channel
+                                      # smoothing with this alpha (quant.py)
     use_pallas_kernels: bool = False  # round-1 fused Pallas attention /
                                       # GroupNorm+SiLU (opt-in, net-neutral)
     fused_linattn: bool = True        # whole-block Pallas linear attention

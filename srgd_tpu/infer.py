@@ -67,6 +67,10 @@ def parse_args(argv=None):
                         'this wide or wider. 512 (default) = deepest stages '
                         'only, bf16-class output quality; 0 = every stage, '
                         'fastest but measurably lossier (docs/PERF.md)')
+    p.add_argument('--quantize_smooth_alpha', type=float, default=0.0,
+                   help='with --precision int8: >0 enables SmoothQuant '
+                        'per-input-channel smoothing with this alpha '
+                        '(nn/quant.py); widens usable int8 coverage')
     p.add_argument('--quant_calibrate', action='store_true',
                    help='with --precision int8: record static activation '
                         'scales once (PTQ calibration) instead of per-call '
@@ -255,6 +259,8 @@ def build_model_and_opts(args):
     if args.precision == 'int8':
         conf.quantize = 'w8a8'
         conf.quantize_min_channels = getattr(args, 'quantize_min_channels', 512)
+        if getattr(args, 'quantize_smooth_alpha', 0.0):
+            conf.quantize_smooth_alpha = args.quantize_smooth_alpha
     else:
         # --precision fp32/bf16 means what it says even when the YAML carries
         # quantize: w8a8 (e.g. the shipped *_tpu_serving.yaml): the CLI flag is

@@ -14,6 +14,14 @@ quantization happens at apply time:
     record running-max scales in a ``quant_stats`` variable collection;
     applies carrying that collection use the static scales and skip the
     amax pass (measured ~10-15% faster conv chains, docs/PERF.md).
+- optional SmoothQuant-style smoothing (``smooth_alpha`` > 0): activation
+  outliers concentrate in a few input channels, so a per-tensor activation
+  scale wastes most of the int8 grid on the quiet channels. Per-input-channel
+  factors s_c = a_c^alpha * w_c^(alpha-1) migrate that range into the weights
+  (x/s_c quantizes finer; w*s_c absorbs it exactly — the float product is
+  unchanged). Free at apply time: the divide fuses into the quantize pass
+  that already reads x, and the per-channel a_c reduce replaces (costs the
+  same as) the per-tensor amax pass.
 
 This is a TPU-native inference feature with no reference counterpart (the
 reference samples in fp32 end to end — /root/reference/inference.py:83-84);
@@ -45,6 +53,7 @@ class QuantConv(nn.Module):
     padding: Union[int, str] = 0
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    smooth_alpha: float = 0.0
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros
 
@@ -58,30 +67,56 @@ class QuantConv(nn.Module):
                            (self.features,), jnp.float32)
                 if self.use_bias else None)
 
-        # per-output-channel symmetric weight scales (epilogue-folded)
         wf = kernel.astype(jnp.float32)
-        s_w = jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0 + 1e-12
-        wq = jnp.round(wf / s_w).astype(jnp.int8)
-
-        # per-tensor activation scale: calibrated static if a quant_stats
-        # collection rides along, dynamic amax otherwise. Never touch the
-        # collection during net.init (every collection is mutable there, and
-        # recording scales from the zeros init inputs would freeze s_x ~ 0).
         xf = x.astype(jnp.float32)
+        # Activation statistics: calibrated static if a quant_stats collection
+        # rides along, dynamic otherwise. Never touch the collection during
+        # net.init (every collection is mutable there, and recording scales
+        # from the zeros init inputs would freeze the scales at ~0).
         calibrating = (self.is_mutable_collection('quant_stats')
                        and not self.is_initializing())
-        if calibrating or self.has_variable('quant_stats', 'act_scale'):
-            sv = self.variable('quant_stats', 'act_scale',
-                               lambda: jnp.zeros((), jnp.float32))
-            if calibrating:
-                dyn = jnp.max(jnp.abs(xf)) / 127.0 + 1e-12
-                sv.value = jnp.maximum(sv.value, dyn)
-                s_x = dyn
+
+        if self.smooth_alpha > 0.0:
+            # SmoothQuant: per-input-channel activation amax a_c drives both
+            # the smoothing factors and the (smoothed) per-tensor scale.
+            if calibrating or self.has_variable('quant_stats', 'act_amax_ch'):
+                sv = self.variable('quant_stats', 'act_amax_ch',
+                                   lambda: jnp.zeros((in_ch,), jnp.float32))
+                if calibrating:
+                    dyn = jnp.max(jnp.abs(xf), axis=(0, 1, 2))
+                    sv.value = jnp.maximum(sv.value, dyn)
+                    a_c = dyn
+                else:
+                    a_c = sv.value
             else:
-                s_x = sv.value
+                a_c = jnp.max(jnp.abs(xf), axis=(0, 1, 2))
+            w_c = jnp.max(jnp.abs(wf), axis=(0, 1, 3))
+            ok = (a_c > 0.0) & (w_c > 0.0)
+            alpha = self.smooth_alpha
+            s_c = jnp.where(ok, (a_c ** alpha) * (w_c ** (alpha - 1.0)), 1.0)
+            wf = wf * s_c[None, None, :, None]
+            # amax of x/s_c, from a_c directly (no second pass over x)
+            s_x = jnp.max(a_c / s_c) / 127.0 + 1e-12
+            x_div = s_c * s_x                     # per-channel quantize divisor
         else:
-            s_x = jnp.max(jnp.abs(xf)) / 127.0 + 1e-12
-        xq = jnp.clip(jnp.round(xf / s_x), -127.0, 127.0).astype(jnp.int8)
+            if calibrating or self.has_variable('quant_stats', 'act_scale'):
+                sv = self.variable('quant_stats', 'act_scale',
+                                   lambda: jnp.zeros((), jnp.float32))
+                if calibrating:
+                    dyn = jnp.max(jnp.abs(xf)) / 127.0 + 1e-12
+                    sv.value = jnp.maximum(sv.value, dyn)
+                    s_x = dyn
+                else:
+                    s_x = sv.value
+            else:
+                s_x = jnp.max(jnp.abs(xf)) / 127.0 + 1e-12
+            x_div = s_x
+
+        # per-output-channel symmetric weight scales (epilogue-folded),
+        # computed AFTER smoothing so they absorb the s_c fold exactly
+        s_w = jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0 + 1e-12
+        wq = jnp.round(wf / s_w).astype(jnp.int8)
+        xq = jnp.clip(jnp.round(xf / x_div), -127.0, 127.0).astype(jnp.int8)
 
         pad = self.padding
         if isinstance(pad, int):
@@ -175,14 +210,20 @@ def calibrate_sampler(wrapper, params, rng, *, tile_size=256, batch=4,
 def conv(features, kernel_size, *, padding=0, use_bias=True,
          dtype=jnp.float32, quant: Optional[str] = None,
          kernel_init=None, bias_init=None, name=None):
-    """nn.Conv or its W8A8 twin, keyed on ``quant`` ('w8a8' or None)."""
+    """nn.Conv or its W8A8 twin, keyed on ``quant``.
+
+    ``quant``: None (float), 'w8a8', or 'w8a8:<alpha>' — the optional suffix
+    enables SmoothQuant smoothing with that alpha (see QuantConv).
+    """
     kw = {}
     if kernel_init is not None:
         kw['kernel_init'] = kernel_init
     if bias_init is not None:
         kw['bias_init'] = bias_init
-    if quant == 'w8a8':
+    if quant is not None and quant.startswith('w8a8'):
+        alpha = float(quant.split(':', 1)[1]) if ':' in quant else 0.0
         return QuantConv(features, kernel_size, padding=padding,
-                         use_bias=use_bias, dtype=dtype, name=name, **kw)
+                         use_bias=use_bias, dtype=dtype, name=name,
+                         smooth_alpha=alpha, **kw)
     return nn.Conv(features, kernel_size, padding=padding,
                    use_bias=use_bias, dtype=dtype, name=name, **kw)

@@ -200,6 +200,16 @@ class SRUnet(nn.Module):
         return x.astype(jnp.float32)
 
 
+def _quant_spec(conf):
+    """Config -> conv quant spec string ('w8a8', 'w8a8:<alpha>', or None)."""
+    if conf.quantize == 'none':
+        return None
+    alpha = getattr(conf, 'quantize_smooth_alpha', 0.0)
+    if conf.quantize == 'w8a8' and alpha > 0.0:
+        return f'w8a8:{alpha:g}'
+    return conf.quantize
+
+
 def build_unet_from_config(conf, dtype=None) -> SRUnet:
     """Factory matching get_model's U-Net construction
     (/root/reference/model.py:3500-3532). Both 'conditional' and plain model
@@ -225,7 +235,7 @@ def build_unet_from_config(conf, dtype=None) -> SRUnet:
         # (config.py:117, Attend(flash=...)); ours is the Pallas kernel
         use_pallas_attention=conf.flash_attn,
         remat=conf.remat_unet,
-        quant=None if conf.quantize == 'none' else conf.quantize,
+        quant=_quant_spec(conf),
         quant_min_channels=conf.quantize_min_channels,
         fused_linattn=conf.fused_linattn,
     )

@@ -217,3 +217,76 @@ def test_quantized_tiled_sample_end_to_end():
                                 batch_size=2, tile_size=16,
                                 num_sample_steps=4, host_loop=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# SmoothQuant smoothing ('w8a8:<alpha>' specs, nn/quant.py)
+# ---------------------------------------------------------------------------
+
+def test_smoothquant_param_tree_matches_nn_conv():
+    """Smoothing is apply-time only: the parameter tree stays the float
+    kernel/bias, identical to nn.Conv (checkpoint compatibility)."""
+    x = jnp.zeros((2, 8, 8, 4))
+    p_q = QuantConv(16, (3, 3), padding=1,
+                    smooth_alpha=0.5).init(jax.random.PRNGKey(3), x)
+    p_f = nn.Conv(16, (3, 3), padding=1).init(jax.random.PRNGKey(3), x)
+    assert jax.tree.structure(p_q) == jax.tree.structure(p_f)
+    for a, b in zip(jax.tree.leaves(p_q), jax.tree.leaves(p_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_smoothquant_beats_per_tensor_on_outlier_channels():
+    """With one hot input channel (the SmoothQuant motivation), smoothing
+    must cut the quantization error vs the float conv."""
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 16, 16, 8).astype(np.float32)
+    x[..., 3] *= 100.0                      # outlier channel
+    x = jnp.asarray(x)
+    plain = QuantConv(16, (3, 3), padding=1)
+    smooth = QuantConv(16, (3, 3), padding=1, smooth_alpha=0.5)
+    params = plain.init(jax.random.PRNGKey(1), x)
+    y_ref = nn.Conv(16, (3, 3), padding=1).apply(params, x)
+    e_plain = float(jnp.mean((plain.apply(params, x) - y_ref) ** 2))
+    e_smooth = float(jnp.mean((smooth.apply(params, x) - y_ref) ** 2))
+    assert e_smooth < e_plain * 0.25, (e_smooth, e_plain)
+
+
+def test_smoothquant_calibrated_matches_dynamic_on_calib_input():
+    """Calibrating on the very input it will see must reproduce the dynamic
+    path (same a_c -> same s_c/s_x -> identical quantization)."""
+    from srgd_tpu.nn.quant import calibrate_quant
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 12, 12, 6).astype(np.float32) *
+                    np.array([1, 1, 50, 1, 1, 1], np.float32))
+    m = QuantConv(12, (3, 3), padding=1, smooth_alpha=0.5)
+    params = m.init(jax.random.PRNGKey(0), x)
+    y_dyn = m.apply(params, x)
+    cal = calibrate_quant(m, params, [((x,), {})])
+    assert 'quant_stats' in cal
+    (stat,) = [v for v in jax.tree.leaves(cal['quant_stats'])]
+    assert stat.shape == (6,)               # per-input-channel amax
+    y_cal = m.apply(cal, x)
+    np.testing.assert_allclose(np.asarray(y_dyn), np.asarray(y_cal),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_smoothquant_spec_threading_and_unet_forward():
+    """config.quantize_smooth_alpha -> 'w8a8:<alpha>' spec -> QuantConv
+    field; the smoothed quantized U-Net stays close to the float net."""
+    from srgd_tpu.nn.quant import conv as quant_conv
+    from srgd_tpu.nn.unet import _quant_spec
+    conf = _tiny_conf(quantize_smooth_alpha=0.5)
+    assert _quant_spec(conf) == 'w8a8:0.5'
+    m = quant_conv(8, (1, 1), quant='w8a8:0.5')
+    assert isinstance(m, QuantConv) and m.smooth_alpha == 0.5
+    qnet, params = _init_net(conf)
+    assert 'quant_stats' not in params
+    conf.quantize = 'none'
+    fnet, _ = _init_net(conf)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3), jnp.float32)
+    t = jnp.zeros((2,))
+    lb = jnp.zeros((2,), jnp.int32)
+    yf = fnet.apply(params, x, t, cond=x, class_label=lb)
+    yq = qnet.apply(params, x, t, cond=x, class_label=lb)
+    rel = float(jnp.max(jnp.abs(yf - yq)) / jnp.max(jnp.abs(yf)))
+    assert rel < 0.10, rel

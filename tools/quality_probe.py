@@ -7,7 +7,8 @@ parity budget under bf16 / W8A8-int8 compute.
 
 Env knobs: QP_LR (128), QP_STEPS (50), QP_DIM (128),
 QP_MODES ('float32,bfloat16'; 'w8a8' = bf16 + calibrated int8-MXU convs,
-'w8a8dyn' = same with dynamic activation scales), QP_QMIN (0 — only
+'w8a8dyn' = same with dynamic activation scales; append '@<alpha>' for
+SmoothQuant smoothing, e.g. 'w8a8dyn@0.5'), QP_QMIN (0 — only
 quantize blocks >= this many channels), QP_WSEED/QP_CSEED (0/1 — weight
 and condition seeds, for replicating results across draws),
 QP_CONF (YAML path overriding the flagship conf; with it QP_DIM is
@@ -55,10 +56,13 @@ def main():
     ckpt = os.environ.get('QP_CKPT', '')
     outs = {}
     for mode in modes:
-        is_q = mode.startswith('w8a8')
-        conf.compute_dtype = 'bfloat16' if is_q else mode
+        # 'w8a8@0.5' / 'w8a8dyn@0.5': SmoothQuant smoothing with that alpha
+        base, _, suffix = mode.partition('@')
+        is_q = base.startswith('w8a8')
+        conf.compute_dtype = 'bfloat16' if is_q else base
         conf.quantize = 'w8a8' if is_q else 'none'
         conf.quantize_min_channels = int(os.environ.get('QP_QMIN', 0))
+        conf.quantize_smooth_alpha = float(suffix) if suffix else 0.0
         net = build_unet_from_config(conf)
         wrapper = build_wrapper(conf, net)
         if ckpt:
@@ -74,7 +78,7 @@ def main():
                     jax.random.PRNGKey(wseed))
         if conf.compute_dtype == 'bfloat16':
             params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-        if mode == 'w8a8':
+        if base == 'w8a8':
             from srgd_tpu.nn.quant import calibrate_sampler
             params = calibrate_sampler(
                 wrapper, params, jax.random.PRNGKey(7),
