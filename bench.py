@@ -16,17 +16,22 @@ We assume the torch/cuDNN path sustains 35% of A100 TF32 peak (156 TFLOP/s)
 This is an *estimate*, recorded so the ratio is at least derived, not invented.
 
 Default precision mode: bf16 with W8A8 int8-MXU convs on the deepest
-(>=512 channel) U-Net stages, dynamic activation scales. Output divergence
-vs fp32 at 512px/50 steps is 51.3-52.9 dB across weight/condition seeds —
-within 0.8 dB of pure bf16 itself (52.0-53.8 dB on the same seeds), i.e.
-statistically bf16-class and far inside the 0.1 dB parity budget.
-Evidence: tools/quality_probe.py runs recorded in docs/PERF.md. Wider
-quantization (>=256ch: 43.9-48.8 dB; all stages: 35-38 dB) stays opt-in.
+(>=512 channel) U-Net stages, CALIBRATED static activation scales (a ~3.5
+min one-time calibration phase, excluded from the measured steps like
+compile; static scales let XLA hoist the weight requant out of the
+250-step scan and skip the per-call amax pass — measured +2% end-to-end
+over dynamic scales at identical coverage). Output divergence vs fp32 at
+512px/50 steps is 51.3-52.7 dB across weight/condition seeds — within
+~1.1 dB of pure bf16 itself (52.0-53.8 dB on the same seeds) and
+indistinguishable from dynamic scales (51.3-52.9); on trained weights
+both sit in bf16's own divergence band. Evidence: tools/quality_probe.py
+runs recorded in docs/PERF.md. Wider quantization stays opt-in
+(>=256ch dynamic needs BENCH_QUANT_SMOOTH=0.75 to be seed-robust).
 
 Env knobs: BENCH_LR_SIZE (512), BENCH_STEPS (8), BENCH_FULL_STEPS (250),
 BENCH_BATCH (8), BENCH_DTYPE (bfloat16), BENCH_TRACE_DIR (jax.profiler
-trace of the measured run, off by default), BENCH_QUANT ('w8a8'; 'none' =
-pure bf16, 'w8a8cal' = calibrated static scales over every conv),
+trace of the measured run, off by default), BENCH_QUANT ('w8a8cal';
+'none' = pure bf16, 'w8a8' = dynamic per-call activation scales),
 BENCH_QUANT_MIN_CH (512; 0 quantizes every stage), BENCH_QUANT_SMOOTH
 (0.0; >0 = SmoothQuant alpha, nn/quant.py), BENCH_MESH ('auto':
 when >1 device is visible, run tile-data-parallel over an all-data mesh —
@@ -66,7 +71,7 @@ def main():
 
     # int8 rides on bf16 compute; a float32 run must really be float32
     quant = os.environ.get('BENCH_QUANT',
-                           'w8a8' if dtype == 'bfloat16' else 'none')
+                           'w8a8cal' if dtype == 'bfloat16' else 'none')
     if quant == 'none':
         quant = ''
     assert not (quant and dtype != 'bfloat16'), \
@@ -184,6 +189,8 @@ def main():
         depth = f'-deep{quant_min_ch}' if quant_min_ch else ''
         mode = {'w8a8': 'bf16+int8', 'w8a8cal': 'bf16+int8cal'}.get(
             quant, quant) + depth
+        if quant_smooth:
+            mode += f'-sm{quant_smooth:g}'
     if use_mesh:
         mode += f' mesh{n_dev}x1'
     print(json.dumps({
