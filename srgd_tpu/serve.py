@@ -575,6 +575,8 @@ class Server:
 
 
 def main(argv=None):
+    from srgd_tpu.utils.platform import sync_platform_env
+    sync_platform_env()
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(name)s %(levelname)s %(message)s')
     args = parse_args(argv)
