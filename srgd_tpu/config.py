@@ -113,9 +113,15 @@ class Config:
 
     seed: int = 71
 
-    amp: bool = False            # accepted for compat; the reference's shipped
-    amp_dtype: str = 'float16'   # sampler never autocasts (model.py:3288-3293)
-                                 # — TPU precision is compute_dtype/quantize
+    amp: bool = False            # inference: accepted for compat (the
+                                 # reference's shipped sampler never
+                                 # autocasts, model.py:3288-3293 — TPU
+                                 # precision is compute_dtype/quantize).
+                                 # TRAINING honors it: bf16 compute with
+                                 # f32 master params (train/loop.py)
+    amp_dtype: str = 'float16'   # accepted for compat; the TPU trainer
+                                 # always uses bfloat16 under amp (fp16 has
+                                 # no MXU path and would need loss scaling)
 
     # U-Net
     unet_dim: int = 64

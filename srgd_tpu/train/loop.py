@@ -179,6 +179,12 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
     # the fused linear-attention kernel has no Pallas autodiff path; the XLA
     # formulation is mathematically identical and differentiable
     conf.fused_linattn = False
+    if conf.amp and conf.compute_dtype == 'float32':
+        # the reference trainer autocasts under amp/amp_dtype; the TPU
+        # analog is bfloat16 compute over f32 master params (no loss
+        # scaling needed, unlike fp16). An explicit compute_dtype wins.
+        conf.compute_dtype = 'bfloat16'
+        logger.info("amp: true -> bfloat16 compute, float32 master params")
     net = build_unet_from_config(conf)
     wrapper = build_wrapper(conf, net)
 

@@ -89,7 +89,7 @@ def _torch_tiled_sample(sd, cond01, rng_key, n_steps, tile, *, dim, dim_mults,
     ph, pw = geom.padded_h, geom.padded_w
 
     def jnoise(key):
-        return torch.from_numpy(np.asarray(
+        return torch.from_numpy(np.array(
             jax.random.normal(key, (b, ph, pw, 3), jnp.float32))
         ).permute(0, 3, 1, 2)
 
@@ -196,7 +196,7 @@ def test_tiled_ddim_parity_512px():
     ph, pw = geom.padded_h, geom.padded_w
 
     def jnoise(k):
-        return torch.from_numpy(np.asarray(
+        return torch.from_numpy(np.array(
             jax.random.normal(k, (1, ph, pw, 3), jnp.float32))
         ).permute(0, 3, 1, 2)
 
@@ -304,7 +304,7 @@ def test_tiled_heun_parity_512px():
     ph, pw = geom.padded_h, geom.padded_w
 
     def jnoise(k):
-        return torch.from_numpy(np.asarray(
+        return torch.from_numpy(np.array(
             jax.random.normal(k, (1, ph, pw, 3), jnp.float32))
         ).permute(0, 3, 1, 2)
 

@@ -643,3 +643,38 @@ def test_log_dir_writes_train_log(image_dir, tmp_path):
     log = out / 'logs' / 'train.log'
     assert log.exists()
     assert 'step 1 loss' in log.read_text()
+
+
+def test_train_amp_uses_bf16_compute(image_dir, tmp_path):
+    """amp: true -> TPU mixed precision: bfloat16 compute, f32 master
+    params (the reference trainer's autocast analog; amp_dtype fp16 is
+    accepted but bf16 is always used — no MXU fp16, no loss scaling)."""
+    import jax
+    import numpy as np
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.loop import train
+
+    conf = Config(model='conditional_continuous', unet_dim=8,
+                  ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                  hr_image_size=16, lr_image_size=4, batch_size=2,
+                  num_workers=1, epochs=1, warmup_epochs=0, ema_decay=0.9,
+                  seed=0, amp=True)
+    state = train(conf, str(image_dir), str(tmp_path / 'run'),
+                  total_steps=2, log_every=1, save_every=10)
+    assert int(state.step) == 2
+    # train() mutated the working conf to bf16 compute
+    assert conf.compute_dtype == 'bfloat16'
+    # master params (and EMA) stay float32
+    for p in jax.tree.leaves(state.params) + jax.tree.leaves(state.ema_params):
+        assert p.dtype == np.float32
+    # an explicit compute_dtype wins over amp
+    conf2 = Config(model='conditional_continuous', unet_dim=8,
+                   ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                   learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                   hr_image_size=16, lr_image_size=4, batch_size=2,
+                   num_workers=1, epochs=1, warmup_epochs=0, ema_decay=0.9,
+                   seed=0, amp=True, compute_dtype='bfloat16')
+    train(conf2, str(image_dir), str(tmp_path / 'run2'),
+          total_steps=1, log_every=1, save_every=10)
+    assert conf2.compute_dtype == 'bfloat16'
