@@ -74,6 +74,8 @@ def main():
                            'w8a8cal' if dtype == 'bfloat16' else 'none')
     if quant == 'none':
         quant = ''
+    assert quant in ('', 'w8a8', 'w8a8cal'), \
+        f'BENCH_QUANT must be none/w8a8/w8a8cal, got {quant!r}'
     assert not (quant and dtype != 'bfloat16'), \
         'BENCH_QUANT requires BENCH_DTYPE=bfloat16'
     quant_min_ch = int(os.environ.get('BENCH_QUANT_MIN_CH', 512))

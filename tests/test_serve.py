@@ -293,7 +293,7 @@ def test_server_int8_precision(tmp_path):
         '-c', str(conf), '-m', '', '--mode', 'http',
         '--num_sample_steps', '2', '--tile_size', '16', '--batch_size', '2',
         '--lr_bucket', '8', '--test_label', '0', '--precision', 'int8',
-        '--quantize_min_channels', '8'])
+        '--quantize_min_channels', '8', '--quantize_smooth_alpha', '0.5'])
     srv = Server(args)
     img = Image.fromarray(
         (np.random.RandomState(0).rand(6, 6, 3) * 255).astype(np.uint8))
