@@ -141,7 +141,8 @@ def test_calibration_times_cover_each_family(model):
     assert np.all(np.isfinite(np.asarray(times, np.float32)))
 
 
-def test_sharded_quantized_sampler_matches_single_device():
+@pytest.mark.parametrize('alpha', [0.0, 0.75])
+def test_sharded_quantized_sampler_matches_single_device(alpha):
     """Tile-data-parallel quantized sampling must track single-device.
 
     The dynamic per-tensor amax is a GLOBAL reduce under GSPMD (max is
@@ -151,10 +152,12 @@ def test_sharded_quantized_sampler_matches_single_device():
     round decisions by one level, which cascades. So the contract is
     statistical — overwhelmingly identical pixels, tightly bounded energy —
     not elementwise closeness (measured ~35 dB / ~6% pixels off by >1e-3 on
-    random dim-8 weights; a per-shard amax bug lands below 15 dB)."""
+    random dim-8 weights; a per-shard amax bug lands below 15 dB).
+    alpha=0.75 additionally covers SmoothQuant's per-CHANNEL amax reduce
+    under GSPMD (same global-reduction requirement, vector-shaped)."""
     from srgd_tpu.parallel.mesh import canvas_sharding, make_mesh, replicated
 
-    conf = _tiny_conf(unet_dim=8)
+    conf = _tiny_conf(unet_dim=8, quantize_smooth_alpha=alpha)
     qnet, params = _init_net(conf)
     wrapper = build_wrapper(conf, qnet)
     rng = jax.random.PRNGKey(5)
