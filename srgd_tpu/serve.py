@@ -291,6 +291,10 @@ class Server:
                       'sample_seconds': 0.0, 'started': time.time()}
         self.stats_lock = threading.Lock()   # counters are touched from the
                                              # watch, http, and batch threads
+        self._sample_started = None  # wall time of the in-flight device
+                                     # sample, for stall detection (a wedged
+                                     # accelerator path never returns — the
+                                     # inflight gauge is what alerts can see)
         # watch-front-end failure bookkeeping (watch thread only): both maps
         # are pruned to the current pending set every pass, so a long-lived
         # daemon's memory stays bounded by the input backlog.
@@ -311,6 +315,9 @@ class Server:
         """Counters for /stats (JSON) and /metrics (Prometheus text)."""
         with self.stats_lock:
             s = dict(self.stats)
+            started = self._sample_started
+        s['sample_inflight_seconds'] = (
+            round(time.time() - started, 3) if started else 0.0)
         s['uptime_seconds'] = time.time() - s.pop('started')
         s['quarantined'] = len(self.quarantined)
         if self.batcher is not None:
@@ -318,12 +325,23 @@ class Server:
         return s
 
     # -- one request -------------------------------------------------------
+    def _timed_sample(self, conds, labels, seed):
+        """All device sampling funnels through here so /stats//metrics can
+        report how long the current sample has been in flight."""
+        with self.lock:
+            with self.stats_lock:
+                self._sample_started = time.time()
+            try:
+                return self.sampler.sample(conds, labels, seed)
+            finally:
+                with self.stats_lock:
+                    self._sample_started = None
+
     def _sample_batch(self, conds, labels):
         """(B, H, W, C) [0,1] -> (B, 4H, 4W, C); the BatchingQueue worker's
         sampling callback. Coalesced batches share one noise stream keyed on
         the server seed."""
-        with self.lock:
-            return self.sampler.sample(conds, labels, self.args.seed)
+        return self._timed_sample(conds, labels, self.args.seed)
 
     def super_resolve(self, image, seed=None, test_label=None):
         """PIL image in -> 4x PIL image out (bucketed geometry).
@@ -343,10 +361,8 @@ class Server:
         if self.batcher is not None and seed is None:
             out = self.batcher.submit(cond, label)
         else:
-            with self.lock:
-                out = self.sampler.sample(
-                    cond, label,
-                    self.args.seed if seed is None else seed)[0]
+            out = self._timed_sample(
+                cond, label, self.args.seed if seed is None else seed)[0]
         dt = time.time() - t0
 
         arr = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
@@ -523,7 +539,8 @@ class Server:
                         if isinstance(v, bool) or not isinstance(v, (int, float)):
                             continue
                         kind = ('gauge' if k in ('uptime_seconds',
-                                                 'quarantined', 'busy')
+                                                 'quarantined', 'busy',
+                                                 'sample_inflight_seconds')
                                 else 'counter')
                         lines.append(f'# TYPE srgd_{k} {kind}')
                         lines.append(f'srgd_{k} {float(v):g}')

@@ -338,6 +338,16 @@ def test_http_endpoints(server):
         # shared, so earlier tests may already have bumped the counters.
         assert stats['served'] >= 1 and stats['errors'] >= 1
 
+        # idle between requests: the stall-detection gauge must read 0
+        assert stats['sample_inflight_seconds'] == 0.0
+        # a wedged device sample shows up as a growing inflight gauge
+        server._sample_started = time.time() - 5.0
+        try:
+            inflight = server.stats_snapshot()['sample_inflight_seconds']
+            assert inflight >= 5.0, inflight
+        finally:
+            server._sample_started = None
+
         conn.request('GET', '/metrics')
         r = conn.getresponse()
         assert r.status == 200
@@ -346,6 +356,7 @@ def test_http_endpoints(server):
         assert '# TYPE srgd_served counter' in metrics
         assert '# TYPE srgd_uptime_seconds gauge' in metrics
         assert '# TYPE srgd_busy gauge' in metrics
+        assert '# TYPE srgd_sample_inflight_seconds gauge' in metrics
         parsed = {line.split()[0]: float(line.split()[1])
                   for line in metrics.splitlines() if not line.startswith('#')}
         assert parsed['srgd_served'] == stats['served']
