@@ -204,8 +204,17 @@ def _quant_spec(conf):
     """Config -> conv quant spec string ('w8a8', 'w8a8:<alpha>', or None)."""
     if conf.quantize == 'none':
         return None
+    if conf.quantize != 'w8a8':
+        # reject rather than misread (e.g. 'w8a8cal' is not a config value:
+        # calibration is a runtime step — calibrate_sampler / the CLI's
+        # --quant_calibrate — on top of quantize: 'w8a8')
+        raise ValueError(f"unknown quantize {conf.quantize!r}: expected "
+                         "'none' or 'w8a8'")
     alpha = getattr(conf, 'quantize_smooth_alpha', 0.0)
-    if conf.quantize == 'w8a8' and alpha > 0.0:
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f'quantize_smooth_alpha must be in [0, 1], '
+                         f'got {alpha}')
+    if alpha > 0.0:
         return f'w8a8:{alpha:g}'
     return conf.quantize
 

@@ -293,3 +293,15 @@ def test_smoothquant_spec_threading_and_unet_forward():
     yq = qnet.apply(params, x, t, cond=x, class_label=lb)
     rel = float(jnp.max(jnp.abs(yf - yq)) / jnp.max(jnp.abs(yf)))
     assert rel < 0.10, rel
+
+
+def test_quant_spec_rejects_unknown_values():
+    """quantize: 'w8a8cal' (or any unknown value) must raise, not silently
+    run dynamic int8 — calibration is a runtime step, not a config value."""
+    from srgd_tpu.nn.unet import _quant_spec
+    conf = _tiny_conf(quantize='w8a8cal')
+    with pytest.raises(ValueError, match='unknown quantize'):
+        _quant_spec(conf)
+    conf = _tiny_conf(quantize_smooth_alpha=1.5)
+    with pytest.raises(ValueError, match='quantize_smooth_alpha'):
+        _quant_spec(conf)
