@@ -12,7 +12,7 @@ YAML loads unchanged).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, fields as dc_fields
+from dataclasses import dataclass, fields as dc_fields
 
 import yaml
 
