@@ -147,6 +147,10 @@ def calibrate_quant(net, variables, calls):
         v, *args, mutable=['quant_stats'], **kwargs)[1])
     for args, kwargs in calls:
         upd = apply(variables, args, kwargs)
+        if 'quant_stats' not in upd:
+            # no QuantConv anywhere (e.g. quantize_min_channels above every
+            # stage width): nothing to calibrate — a no-op, not an error
+            return variables
         variables = {**variables, 'quant_stats': upd['quant_stats']}
     return variables
 
@@ -201,6 +205,8 @@ def calibrate_sampler(wrapper, params, rng, *, tile_size=256, batch=4,
     net_vars = {k: v for k, v in params.items() if k != 'log_snr'} \
         if isinstance(params, dict) else params
     net_vars = calibrate_quant(net, net_vars, calls)
+    if 'quant_stats' not in net_vars:
+        return params       # no QuantConv in this net — calibration is a no-op
     stats = jax.tree.map(lambda s: s * margin, net_vars['quant_stats'])
     out = dict(params) if isinstance(params, dict) else dict(net_vars)
     out['quant_stats'] = stats

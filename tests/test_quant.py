@@ -305,3 +305,17 @@ def test_quant_spec_rejects_unknown_values():
     conf = _tiny_conf(quantize_smooth_alpha=1.5)
     with pytest.raises(ValueError, match='quantize_smooth_alpha'):
         _quant_spec(conf)
+
+
+def test_calibrate_sampler_noop_without_quantconvs():
+    """quantize_min_channels above every stage width means zero QuantConvs;
+    calibration must be a clean no-op, not a KeyError (found by a bench
+    smoke: --quant_calibrate on a net narrower than min_channels)."""
+    conf = _tiny_conf(unet_dim=8, quantize_min_channels=4096)
+    qnet, params = _init_net(conf)
+    wrapper = build_wrapper(conf, qnet)
+    out = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
+                            tile_size=16, batch=1)
+    assert 'quant_stats' not in out
+    same = jax.tree.map(lambda a, b: bool((a == b).all()), out, params)
+    assert all(jax.tree.leaves(same))
