@@ -366,3 +366,18 @@ def test_http_endpoints(server):
         assert conn.getresponse().status == 404 or True
     finally:
         httpd.shutdown()
+
+
+def test_warmup_compiles_and_restores_counters(server):
+    """--warmup_sizes pre-compiles geometries without polluting traffic
+    counters (warmups are not served requests)."""
+    before = dict(server.stats)
+    server.args.warmup_sizes = '6'
+    try:
+        server.warmup()
+    finally:
+        server.args.warmup_sizes = ''
+    after = server.stats_snapshot()
+    for k in ('served', 'errors', 'mpix'):
+        assert after[k] == before[k], (k, after[k], before[k])
+    assert after['sample_inflight_seconds'] == 0.0
