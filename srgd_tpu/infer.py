@@ -283,6 +283,12 @@ def build_model_and_opts(args):
 
     if args.precision == 'int8' and getattr(args, 'quant_calibrate', False):
         from srgd_tpu.nn.quant import calibrate_sampler
+        if getattr(args, 'quantize_smooth_alpha', 0.0):
+            logger.warning(
+                'combining --quant_calibrate with --quantize_smooth_alpha '
+                'measured WORSE than either alone (static per-tensor scales '
+                'compound calibration drift; docs/PERF.md round 6) — '
+                'smoothing is intended for dynamic scales')
         params = calibrate_sampler(
             wrapper, params, jax.random.PRNGKey(args.seed),
             tile_size=args.tile_size, batch=min(args.batch_size, 4),

@@ -135,3 +135,20 @@ def test_cli_mesh_multichip(setup_dirs):
     # GSPMD reduction-order drift can flip a uint8 rounding boundary
     assert np.abs(a - b).max() <= 1
     assert (a != b).mean() < 0.05
+
+
+def test_cli_int8_calibrate_and_smooth(setup_dirs):
+    """--precision int8 --quant_calibrate --quantize_smooth_alpha runs the
+    PTQ-calibration path end to end (incl. the no-QuantConv no-op when
+    min_channels exceeds every stage width of the tiny net)."""
+    conf, in_dir, out_dir = setup_dirs
+    _run(conf, in_dir, out_dir, extra=[
+        '--precision', 'int8', '--quant_calibrate',
+        '--quantize_min_channels', '0', '--quantize_smooth_alpha', '0.5'])
+    assert (out_dir / 'a_out.png').exists()
+    # min_channels above every width: calibration must be a clean no-op
+    (out_dir / 'a_out.png').unlink()
+    _run(conf, in_dir, out_dir, extra=[
+        '--precision', 'int8', '--quant_calibrate',
+        '--quantize_min_channels', '4096'])
+    assert (out_dir / 'a_out.png').exists()
