@@ -18,9 +18,9 @@ This is an *estimate*, recorded so the ratio is at least derived, not invented.
 Default precision mode: bf16 with W8A8 int8-MXU convs on the deepest
 (>=512 channel) U-Net stages, CALIBRATED static activation scales (a ~3.5
 min one-time calibration phase, excluded from the measured steps like
-compile; static scales let XLA hoist the weight requant out of the
-250-step scan and skip the per-call amax pass — measured +2% end-to-end
-over dynamic scales at identical coverage). Output divergence vs fp32 at
+compile; static scales skip the per-step activation amax pass — an extra
+full read of every quantized conv's input — measured +2% end-to-end over
+dynamic scales at identical coverage). Output divergence vs fp32 at
 512px/50 steps is 51.3-52.7 dB across weight/condition seeds — within
 ~1.1 dB of pure bf16 itself (52.0-53.8 dB on the same seeds) and
 indistinguishable from dynamic scales (51.3-52.9); on trained weights
