@@ -34,6 +34,27 @@ GUIDANCE_COND = 'cond'
 GUIDANCE_CLASS = 'class'
 
 
+def select_time_stats(params, time_scalar):
+    """Per-timestep PTQ quant scales (nn/quant.py calibrate_sampler
+    per_time=True): slice the stacked ``quant_stats_t`` collection at the
+    calibration time nearest the current net time input and hand the slice
+    to the net as an ordinary ``quant_stats`` collection. No-op for params
+    without the stacked stats. Runs in-graph (argmin + dynamic slice over
+    tiny per-conv scale tensors), so scanned samplers stay a single
+    compiled program and no activation-sized amax pass is reintroduced."""
+    if not isinstance(params, dict) or 'quant_stats_t' not in params:
+        return params
+    times = params['quant_stats_times']
+    idx = jnp.argmin(jnp.abs(times - time_scalar))
+    stats = jax.tree.map(
+        lambda s: jax.lax.dynamic_index_in_dim(s, idx, 0, keepdims=False),
+        params['quant_stats_t'])
+    p = {k: v for k, v in params.items()
+         if k not in ('quant_stats_t', 'quant_stats_times')}
+    p['quant_stats'] = stats
+    return p
+
+
 def resolve_guidance_mode(cond_scale: float, class_cond_scale: float) -> str:
     """Static (trace-time) guidance mode. Parity incl. the dual-CFG
     NotImplementedError guard (/root/reference/model.py:3138-3139)."""

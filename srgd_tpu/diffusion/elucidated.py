@@ -28,6 +28,7 @@ from srgd_tpu.diffusion.base import (
     GUIDANCE_COND, chunked_map, crop_frames,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
     prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
+    select_time_stats,
     unnormalize_to_zero_to_one,
 )
 from srgd_tpu.diffusion.schedules import EDMParams
@@ -61,6 +62,7 @@ class ElucidatedDiffusion:
         return self.edm.c_noise(jnp.asarray(sig))
 
     def net_apply(self, params, x, time_b, cond, class_label, class_mask):
+        params = select_time_stats(params, time_b[0])
         return self.net.apply(params, x, time_b, cond=cond,
                               class_label=class_label, class_mask=class_mask)
 

@@ -71,6 +71,12 @@ def parse_args(argv=None):
                    help='with --precision int8: >0 enables SmoothQuant '
                         'per-input-channel smoothing with this alpha '
                         '(nn/quant.py); widens usable int8 coverage')
+    p.add_argument('--quant_calibrate_per_time', action='store_true',
+                   help='with --quant_calibrate: record a separate scale '
+                        'set per calibration noise level and select the '
+                        'nearest per sampling step (activations shrink as '
+                        'noise decays; one global running-max over-scales '
+                        'the low-noise steps)')
     p.add_argument('--quant_calibrate', action='store_true',
                    help='with --precision int8: record static activation '
                         'scales once (PTQ calibration) instead of per-call '
@@ -292,7 +298,8 @@ def build_model_and_opts(args):
         params = calibrate_sampler(
             wrapper, params, jax.random.PRNGKey(args.seed),
             tile_size=args.tile_size, batch=min(args.batch_size, 4),
-            class_label=args.test_label)
+            class_label=args.test_label,
+            per_time=getattr(args, 'quant_calibrate_per_time', False))
 
     opts = dict(exec_mode=args.exec_mode,
                 batch_size=args.batch_size, tile_size=args.tile_size,

@@ -157,7 +157,7 @@ def calibrate_quant(net, variables, calls):
 
 def calibrate_sampler(wrapper, params, rng, *, tile_size=256, batch=4,
                       channels=3, class_label=None, n_times=6,
-                      cond_sample=None, margin=1.0):
+                      cond_sample=None, margin=1.0, per_time=False):
     """PTQ-calibrate a diffusion wrapper's denoiser for (tiled) sampling.
 
     Runs the denoiser at ``n_times`` representative noise levels (the
@@ -168,6 +168,14 @@ def calibrate_sampler(wrapper, params, rng, *, tile_size=256, batch=4,
     in [-1, 1] to draw calibration condition tiles from (defaults to uniform
     noise). ``margin`` scales the recorded amax, headroom for inputs hotter
     than the calibration set.
+
+    ``per_time=True`` records a SEPARATE stats set per calibration time
+    (diffusion activations shrink as noise decays, so one global running-max
+    over all noise levels over-scales the low-noise steps). The result
+    carries ``quant_stats_t`` (stacked, leading dim = n calibration times)
+    plus ``quant_stats_times`` (the matching net time inputs); samplers
+    select the nearest entry per step via ``diffusion.base.
+    select_time_stats`` at the family's ``net_apply`` boundary.
     """
     import jax
     import jax.numpy as jnp
@@ -178,17 +186,21 @@ def calibrate_sampler(wrapper, params, rng, *, tile_size=256, batch=4,
     shape = (batch, tile_size, tile_size, channels)
     x = jax.random.normal(kx, shape, jnp.float32)
     if cond_sample is not None:
-        cond = jnp.broadcast_to(
-            cond_sample[:1, :tile_size, :tile_size, :], shape)
+        cs = cond_sample[:1]
+        if cs.shape[1] < tile_size or cs.shape[2] < tile_size:
+            # canvas smaller than the calibration tile: tile it out
+            cs = jnp.tile(cs, (1, -(-tile_size // cs.shape[1]),
+                               -(-tile_size // cs.shape[2]), 1))
+        cond = jnp.broadcast_to(cs[:, :tile_size, :tile_size, :], shape)
     else:
         cond = jax.random.uniform(kc, shape, jnp.float32, -1.0, 1.0)
     label = (jnp.zeros((batch,), jnp.int32) if class_label is None
              else jnp.broadcast_to(jnp.asarray(class_label), (batch,)))
     has_classes = getattr(net, 'num_classes', None) is not None
 
-    calls = []
-    for i in range(times.shape[0]):
+    def calls_at(i):
         t_b = jnp.full((batch,), times[i], jnp.float32)
+        calls = []
         for c in (cond, jnp.zeros_like(cond)):      # real + CFG-null condition
             kw = dict(cond=c)
             if has_classes:
@@ -200,16 +212,32 @@ def calibrate_sampler(wrapper, params, rng, *, tile_size=256, batch=4,
             calls.append(((x, t_b), dict(
                 cond=cond, class_label=label,
                 class_mask=jnp.zeros((batch,), jnp.float32))))
+        return calls
 
     # strip non-net collections the wrappers add (learned log-SNR subtree)
     net_vars = {k: v for k, v in params.items() if k != 'log_snr'} \
         if isinstance(params, dict) else params
+    out = dict(params) if isinstance(params, dict) else dict(net_vars)
+
+    if per_time:
+        per_time_stats = []
+        for i in range(times.shape[0]):
+            vars_i = calibrate_quant(net, net_vars, calls_at(i))
+            if 'quant_stats' not in vars_i:
+                return params   # no QuantConv in this net — a clean no-op
+            per_time_stats.append(vars_i['quant_stats'])
+        stacked = jax.tree.map(lambda *s: jnp.stack(s) * margin,
+                               *per_time_stats)
+        out['quant_stats_t'] = stacked
+        out['quant_stats_times'] = jnp.asarray(times, jnp.float32)
+        return out
+
+    calls = [c for i in range(times.shape[0]) for c in calls_at(i)]
     net_vars = calibrate_quant(net, net_vars, calls)
     if 'quant_stats' not in net_vars:
         return params       # no QuantConv in this net — calibration is a no-op
-    stats = jax.tree.map(lambda s: s * margin, net_vars['quant_stats'])
-    out = dict(params) if isinstance(params, dict) else dict(net_vars)
-    out['quant_stats'] = stats
+    out['quant_stats'] = jax.tree.map(lambda s: s * margin,
+                                      net_vars['quant_stats'])
     return out
 
 

@@ -99,6 +99,7 @@ def parse_args(argv=None):
     p.add_argument('--quantize_min_channels', type=int, default=512)
     p.add_argument('--quantize_smooth_alpha', type=float, default=0.0)
     p.add_argument('--quant_calibrate', action='store_true')
+    p.add_argument('--quant_calibrate_per_time', action='store_true')
     p.add_argument('--mesh', type=str, default='')
     return p.parse_args(argv)
 

@@ -319,3 +319,82 @@ def test_calibrate_sampler_noop_without_quantconvs():
     assert 'quant_stats' not in out
     same = jax.tree.map(lambda a, b: bool((a == b).all()), out, params)
     assert all(jax.tree.leaves(same))
+
+
+def test_per_time_calibration_selects_nearest_stats():
+    """per_time=True records one stats set per calibration time
+    (quant_stats_t stacked + quant_stats_times); net_apply at exactly
+    calibration time k must equal applying with that slice as plain
+    quant_stats (diffusion.base.select_time_stats)."""
+    conf = _tiny_conf(unet_dim=8)
+    qnet, params = _init_net(conf)
+    wrapper = build_wrapper(conf, qnet)
+    pt = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
+                           tile_size=16, batch=2, n_times=4, per_time=True)
+    assert 'quant_stats_t' in pt and 'quant_stats' not in pt
+    times = np.asarray(pt['quant_stats_times'])
+    T = times.shape[0]
+    assert T >= 2 and len(set(times.tolist())) == T
+    for s in jax.tree.leaves(pt['quant_stats_t']):
+        assert s.shape[0] == T
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3), jnp.float32)
+    lb = jnp.zeros((2,), jnp.int32)
+    for k in (0, T - 1):
+        t_b = jnp.full((2,), times[k], jnp.float32)
+        y_t = wrapper.net_apply(pt, x, t_b, x, lb, None)
+        sliced = {kk: v for kk, v in pt.items()
+                  if kk not in ('quant_stats_t', 'quant_stats_times')}
+        sliced['quant_stats'] = jax.tree.map(lambda s: s[k],
+                                             pt['quant_stats_t'])
+        y_s = wrapper.net_apply(sliced, x, t_b, x, lb, None)
+        np.testing.assert_array_equal(np.asarray(y_t), np.asarray(y_s))
+
+
+def test_per_time_calibrated_tiled_sample_end_to_end():
+    """Per-timestep calibrated params run the real (scan AND host-loop)
+    tiled samplers; both modes agree."""
+    conf = _tiny_conf(unet_dim=8)
+    qnet, params = _init_net(conf)
+    wrapper = build_wrapper(conf, qnet)
+    params = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
+                               tile_size=16, batch=2, n_times=3,
+                               per_time=True)
+    cond = jnp.asarray(np.random.RandomState(0).rand(1, 24, 24, 3),
+                       jnp.float32)
+    label = jnp.zeros((1,), jnp.int32)
+    out = wrapper.tiled_sample(params, jax.random.PRNGKey(71), cond, label,
+                               batch_size=2, tile_size=16, num_sample_steps=4)
+    assert out.shape == (1, 24, 24, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    out2 = wrapper.tiled_sample(params, jax.random.PRNGKey(71), cond, label,
+                                batch_size=2, tile_size=16,
+                                num_sample_steps=4, host_loop=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+@pytest.mark.parametrize('model', ['conditional_gaussian',
+                                   'conditional_elucidated'])
+def test_per_time_calibration_other_families(model):
+    """The per-time stats hook lives at each family's net_apply funnel —
+    gaussian (integer timesteps) and elucidated (sigma inputs) sample
+    end-to-end with per-time stats too."""
+    # timesteps=1000: tiny T makes the linear beta schedule (scaled by
+    # 1000/T, reference semantics) exceed 1 -> alpha<0 -> NaN by math, so
+    # keep the discrete family at its real T and sample few DDIM steps
+    conf = _tiny_conf(model=model, unet_dim=8, timesteps=1000,
+                      sampling_timesteps=4, num_sample_steps=4,
+                      learned_sinusoidal_cond=(model != 'conditional_gaussian'))
+    qnet, params = _init_net(conf)
+    wrapper = build_wrapper(conf, qnet)
+    params = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
+                               tile_size=16, batch=2, n_times=3,
+                               per_time=True)
+    assert 'quant_stats_t' in params
+    cond = jnp.asarray(np.random.RandomState(1).rand(1, 16, 16, 3),
+                       jnp.float32)
+    label = jnp.zeros((1,), jnp.int32)
+    out = wrapper.tiled_sample(params, jax.random.PRNGKey(71), cond, label,
+                               batch_size=2, tile_size=16,
+                               num_sample_steps=4)
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -7,7 +7,8 @@ parity budget under bf16 / W8A8-int8 compute.
 
 Env knobs: QP_LR (128), QP_STEPS (50), QP_DIM (128),
 QP_MODES ('float32,bfloat16'; 'w8a8' = bf16 + calibrated int8-MXU convs,
-'w8a8dyn' = same with dynamic activation scales; append '@<alpha>' for
+'w8a8dyn' = same with dynamic activation scales, 'w8a8t' = per-timestep
+calibrated scales; append '@<alpha>' for
 SmoothQuant smoothing, e.g. 'w8a8dyn@0.5'), QP_QMIN (0 — only
 quantize blocks >= this many channels), QP_WSEED/QP_CSEED (0/1 — weight
 and condition seeds, for replicating results across draws),
@@ -78,11 +79,11 @@ def main():
                     jax.random.PRNGKey(wseed))
         if conf.compute_dtype == 'bfloat16':
             params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-        if base == 'w8a8':
+        if base in ('w8a8', 'w8a8t'):
             from srgd_tpu.nn.quant import calibrate_sampler
             params = calibrate_sampler(
                 wrapper, params, jax.random.PRNGKey(7),
-                cond_sample=cond * 2.0 - 1.0)
+                cond_sample=cond * 2.0 - 1.0, per_time=(base == 'w8a8t'))
         # 'w8a8dyn': no calibration -> dynamic per-call amax scales
         t0 = time.time()
         out = wrapper.tiled_sample(params, rng, cond, label, batch_size=8,
