@@ -292,7 +292,8 @@ def build_model_and_opts(args):
         if getattr(args, 'quantize_smooth_alpha', 0.0):
             logger.warning(
                 'combining --quant_calibrate with --quantize_smooth_alpha '
-                'measured WORSE than either alone (static per-tensor scales '
+                'measured WORSE than either alone, with or without '
+                '--quant_calibrate_per_time (static per-tensor scales '
                 'compound calibration drift; docs/PERF.md round 6) — '
                 'smoothing is intended for dynamic scales')
         params = calibrate_sampler(
