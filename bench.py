@@ -31,7 +31,8 @@ runs recorded in docs/PERF.md. Wider quantization stays opt-in
 Env knobs: BENCH_LR_SIZE (512), BENCH_STEPS (8), BENCH_FULL_STEPS (250),
 BENCH_BATCH (8), BENCH_DTYPE (bfloat16), BENCH_TRACE_DIR (jax.profiler
 trace of the measured run, off by default), BENCH_QUANT ('w8a8cal';
-'none' = pure bf16, 'w8a8' = dynamic per-call activation scales),
+'none' = pure bf16, 'w8a8' = dynamic per-call activation scales,
+'w8a8calt' = per-timestep calibrated scales),
 BENCH_QUANT_MIN_CH (512; 0 quantizes every stage), BENCH_QUANT_SMOOTH
 (0.0; >0 = SmoothQuant alpha, nn/quant.py), BENCH_MESH ('auto':
 when >1 device is visible, run tile-data-parallel over an all-data mesh —
@@ -57,7 +58,15 @@ def main():
     batch = int(os.environ.get('BENCH_BATCH', 8))
     dtype = os.environ.get('BENCH_DTYPE', 'bfloat16')
     trace_dir = os.environ.get('BENCH_TRACE_DIR', '')
+    # BENCH_DIM shrinks the U-Net for CPU smoke tests of the bench harness
+    # itself; the headline metric is only meaningful at the default 128
+    unet_dim = int(os.environ.get('BENCH_DIM', 128))
     assert meas_steps % 2 == 0, 'measure whole even/odd pairs'
+
+    # honor JAX_PLATFORMS=cpu for harness smoke tests (the axon site hook
+    # re-registers the TPU programmatically; see utils/platform.py)
+    from srgd_tpu.utils.platform import sync_platform_env
+    sync_platform_env()
 
     import jax
     import jax.numpy as jnp
@@ -74,8 +83,8 @@ def main():
                            'w8a8cal' if dtype == 'bfloat16' else 'none')
     if quant == 'none':
         quant = ''
-    assert quant in ('', 'w8a8', 'w8a8cal'), \
-        f'BENCH_QUANT must be none/w8a8/w8a8cal, got {quant!r}'
+    assert quant in ('', 'w8a8', 'w8a8cal', 'w8a8calt'), \
+        f'BENCH_QUANT must be none/w8a8/w8a8cal/w8a8calt, got {quant!r}'
     assert not (quant and dtype != 'bfloat16'), \
         'BENCH_QUANT requires BENCH_DTYPE=bfloat16'
     quant_min_ch = int(os.environ.get('BENCH_QUANT_MIN_CH', 512))
@@ -83,7 +92,7 @@ def main():
     n_dev = len(jax.devices())
     mesh_env = os.environ.get('BENCH_MESH', 'auto')
     use_mesh = (n_dev > 1) if mesh_env == 'auto' else bool(int(mesh_env))
-    conf = ge._flagship_conf()
+    conf = ge._flagship_conf(unet_dim=unet_dim)
     conf.compute_dtype = dtype
     if quant:
         conf.quantize = 'w8a8'
@@ -111,11 +120,12 @@ def main():
 
     label = jnp.zeros((1,), jnp.int32)
 
-    if quant == 'w8a8cal':
+    if quant in ('w8a8cal', 'w8a8calt'):
         from srgd_tpu.nn.quant import calibrate_sampler
         with timer.phase('calibrate'):
             params = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
-                                       cond_sample=cond * 2.0 - 1.0)
+                                       cond_sample=cond * 2.0 - 1.0,
+                                       per_time=(quant == 'w8a8calt'))
 
     mesh = None
     if use_mesh:
@@ -189,14 +199,15 @@ def main():
         mode = 'bf16'
     else:
         depth = f'-deep{quant_min_ch}' if quant_min_ch else ''
-        mode = {'w8a8': 'bf16+int8', 'w8a8cal': 'bf16+int8cal'}.get(
-            quant, quant) + depth
+        mode = {'w8a8': 'bf16+int8', 'w8a8cal': 'bf16+int8cal',
+                'w8a8calt': 'bf16+int8calt'}.get(quant, quant) + depth
         if quant_smooth:
             mode += f'-sm{quant_smooth:g}'
     if use_mesh:
         mode += f' mesh{n_dev}x1'
     print(json.dumps({
-        'metric': f'4x-SR megapixels/sec/chip @512px LR, 250 steps, dim128 {mode}',
+        'metric': (f'4x-SR megapixels/sec/chip @{lr_size}px LR, '
+                   f'{full_steps} steps, dim{unet_dim} {mode}'),
         'value': round(throughput, 4),
         'unit': 'MPix/s/chip',
         'vs_baseline': round(vs_baseline, 3) if vs_baseline == vs_baseline else None,

@@ -132,19 +132,29 @@ class QuantConv(nn.Module):
         return y.astype(self.dtype)
 
 
-def calibrate_quant(net, variables, calls):
+def _make_calibrate_apply(net):
+    """Jitted stats-recording apply. Built ONCE per calibration run and
+    passed through repeated ``calibrate_quant`` calls: jax.jit caches on
+    function identity, so a fresh lambda per call would recompile (6x the
+    relay's slow compile in per-time mode)."""
+    import jax
+
+    return jax.jit(lambda v, args, kwargs: net.apply(
+        v, *args, mutable=['quant_stats'], **kwargs)[1])
+
+
+def calibrate_quant(net, variables, calls, apply=None):
     """Record static activation scales for every QuantConv in ``net``.
 
     ``calls``: iterable of (args, kwargs) forwarded to ``net.apply``. Returns
     the variables dict with a populated ``quant_stats`` collection (running
     max over all calls); pass the result wherever params went before. For
     diffusion denoisers, calibrate across several noise levels — FiLM
-    conditioning changes activation ranges with t.
+    conditioning changes activation ranges with t. ``apply``: optional
+    prebuilt ``_make_calibrate_apply(net)`` for jit reuse across calls.
     """
-    import jax
-
-    apply = jax.jit(lambda v, args, kwargs: net.apply(
-        v, *args, mutable=['quant_stats'], **kwargs)[1])
+    if apply is None:
+        apply = _make_calibrate_apply(net)
     for args, kwargs in calls:
         upd = apply(variables, args, kwargs)
         if 'quant_stats' not in upd:
@@ -220,9 +230,10 @@ def calibrate_sampler(wrapper, params, rng, *, tile_size=256, batch=4,
     out = dict(params) if isinstance(params, dict) else dict(net_vars)
 
     if per_time:
+        apply = _make_calibrate_apply(net)
         per_time_stats = []
         for i in range(times.shape[0]):
-            vars_i = calibrate_quant(net, net_vars, calls_at(i))
+            vars_i = calibrate_quant(net, net_vars, calls_at(i), apply=apply)
             if 'quant_stats' not in vars_i:
                 return params   # no QuantConv in this net — a clean no-op
             per_time_stats.append(vars_i['quant_stats'])

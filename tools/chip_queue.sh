@@ -1,0 +1,89 @@
+#!/bin/bash
+# Prioritized TPU measurement queue (run the moment the relay is alive).
+#
+# The TPU relay on this box dies unpredictably and is unrecoverable from
+# inside the VM, so chip-time measurements must be capture-it-now. This
+# script runs the currently-outstanding measurements in priority order,
+# logging each to $CHIPQ_DIR/<name>.log and marking completion with a
+# .done file so a re-run resumes where it left off.
+#
+# Usage:  bash tools/chip_queue.sh            # run everything outstanding
+#         CHIPQ_ONLY=q30 bash tools/chip_queue.sh   # run one item
+#
+# Outstanding questions each item answers (round: per-time calibration):
+#   q10  flagship >=256ch per-time ladder, seed 0/1 — is per-time cal
+#        dynamic-class quality at flagship shapes? (CPU dim-16 check says
+#        it recovers ~4.1 of cal's 4.7 dB deficit; docs/PERF.md §3)
+#   q20  same ladder on the KNOWN BAD 42/43 draw (dynamic hit 43.81 dB
+#        there) — the actual gate for making >=256ch cal the default.
+#   q30  throughput of per-time cal at >=256ch (expect ~0.0402 like
+#        global cal — the select is an argmin+slice over tiny tensors).
+#   q40  per-time at the current default coverage (>=512ch): does it buy
+#        quality headroom over global cal's 51.3-52.7 dB?
+#   q50  evidence_eval refresh on the surviving 28k best_loss checkpoint
+#        (round-6 OOM destroyed the main dir before its eval re-run).
+#   q60  headline bench reconfirmation (default deep-512 calibrated).
+set -u
+cd "$(dirname "$0")/.."
+CHIPQ_DIR=${CHIPQ_DIR:-/tmp/chipq}
+mkdir -p "$CHIPQ_DIR"
+
+echo "[chipq] preflight: checking the TPU relay (<=120s)..."
+if ! timeout 120 python -c "import jax; assert jax.devices()[0].platform != 'cpu'; print('[chipq] devices:', jax.devices())"; then
+    echo "[chipq] relay is DEAD (jax.devices() hung or returned CPU) — aborting."
+    exit 1
+fi
+
+run_item() {
+    local name="$1" tmo="$2"; shift 2
+    if [ -e "$CHIPQ_DIR/$name.done" ]; then
+        echo "[chipq] $name: already done, skipping"
+        return 0
+    fi
+    if [ -n "${CHIPQ_ONLY:-}" ] && [ "${CHIPQ_ONLY}" != "$name" ]; then
+        return 0
+    fi
+    echo "[chipq] $name: running (timeout ${tmo}s), log $CHIPQ_DIR/$name.log"
+    if timeout "$tmo" "$@" > "$CHIPQ_DIR/$name.log" 2>&1; then
+        touch "$CHIPQ_DIR/$name.done"
+        echo "[chipq] $name: OK"
+        tail -8 "$CHIPQ_DIR/$name.log" | sed 's/^/    /'
+    else
+        echo "[chipq] $name: FAILED (rc=$?) — tail:"
+        tail -15 "$CHIPQ_DIR/$name.log" | sed 's/^/    /'
+    fi
+}
+
+# q10: flagship >=256ch per-time quality ladder, default 0/1 draw
+run_item q10_ladder256 3600 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+    QP_QMIN=256 QP_MODES='float32,w8a8dyn,w8a8,w8a8t' \
+    python tools/quality_probe.py
+
+# q20: the bad draw (dynamic measured 43.81 dB at >=256ch here)
+run_item q20_ladder256_badseed 3600 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+    QP_QMIN=256 QP_WSEED=42 QP_CSEED=43 \
+    QP_MODES='float32,w8a8dyn,w8a8,w8a8t' \
+    python tools/quality_probe.py
+
+# q30: per-time throughput at >=256ch coverage
+run_item q30_bench_pertime256 2400 env BENCH_QUANT=w8a8calt \
+    BENCH_QUANT_MIN_CH=256 python bench.py
+
+# q40: per-time at the shipping >=512ch coverage (quality headroom check)
+run_item q40_ladder512_pertime 2400 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+    QP_QMIN=512 QP_MODES='float32,w8a8,w8a8t' \
+    python tools/quality_probe.py
+
+# q50: trained-evidence eval refresh at the 28k best_loss checkpoint
+if [ -d /tmp/evidence_run/evidence_dim64_synth_best_loss ]; then
+    run_item q50_evidence_eval 10800 env \
+        EV_CKPT=/tmp/evidence_run/evidence_dim64_synth_best_loss \
+        python tools/evidence_eval.py
+else
+    echo "[chipq] q50: checkpoint missing (/tmp cleared) — skipping"
+fi
+
+# q60: headline bench reconfirmation on the current default
+run_item q60_bench_default 2400 python bench.py
+
+echo "[chipq] queue complete; logs in $CHIPQ_DIR"
