@@ -148,7 +148,8 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
     import jax
     import jax.numpy as jnp
 
-    from srgd_tpu.checkpoint.io import restore_params, save_params
+    from srgd_tpu.checkpoint.io import (
+        checkpoint_exists, restore_params, save_params)
     from srgd_tpu.factory import build_unet_from_config, build_wrapper
     from srgd_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
     from srgd_tpu.train.data import DegradationDataset
@@ -236,7 +237,7 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
     # {model_dir}/{save_dir}/{prefix}_... , config.py:7-8, 186)
     ckpt_dir = os.path.join(out_dir, conf.prefix or 'ckpt')
     best_score = -float(np.inf)
-    if resume and os.path.isdir(ckpt_dir):
+    if resume and checkpoint_exists(ckpt_dir):
         raw = restore_params(ckpt_dir)
         if 'opt_state' in raw:
             # re-restore against a template so optax state (namedtuples,

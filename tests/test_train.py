@@ -678,3 +678,56 @@ def test_train_amp_uses_bf16_compute(image_dir, tmp_path):
     train(conf2, str(image_dir), str(tmp_path / 'run2'),
           total_steps=1, log_every=1, save_every=10)
     assert conf2.compute_dtype == 'bfloat16'
+
+
+def test_save_params_crash_safe(tmp_path, monkeypatch):
+    """A save that dies mid-write must never destroy the previous
+    checkpoint (round 6: orbax force=True deleted the only copy of a
+    30k-step state before the replacement was finalized)."""
+    from srgd_tpu.checkpoint import io as ckio
+
+    path = str(tmp_path / 'ckpt')
+    ckio.save_params(path, {'w': np.arange(4.0), 'step': 1})
+
+    # crash while writing the replacement: the tmp dir is half-written
+    real_ckpt = ckio._checkpointer
+
+    class Boom(RuntimeError):
+        pass
+
+    class ExplodingCkpt:
+        def save(self, p, params, **kw):
+            os.makedirs(p, exist_ok=True)
+            (tmp_path / 'ckpt.new' / 'partial').write_text('garbage')
+            raise Boom('simulated OOM kill mid-save')
+
+    monkeypatch.setattr(ckio, '_checkpointer', lambda: ExplodingCkpt())
+    with pytest.raises(Boom):
+        ckio.save_params(path, {'w': np.arange(4.0) * 2, 'step': 2})
+    monkeypatch.setattr(ckio, '_checkpointer', real_ckpt)
+
+    # previous checkpoint intact and restorable
+    assert int(ckio.restore_params(path)['step']) == 1
+    # a later save cleans the debris and succeeds
+    ckio.save_params(path, {'w': np.arange(4.0) * 3, 'step': 3})
+    assert int(ckio.restore_params(path)['step']) == 3
+    assert not os.path.exists(path + '.new')
+    assert not os.path.exists(path + '.old')
+
+
+def test_restore_params_mid_swap_fallbacks(tmp_path):
+    """Crash between the two swap renames leaves <path>.new (and possibly
+    <path>.old) as the only complete copies; restore + the trainer's
+    resume gate must find them."""
+    from srgd_tpu.checkpoint import io as ckio
+
+    path = str(tmp_path / 'ckpt')
+    ckio.save_params(path + '.new', {'step': 7})
+    assert ckio.checkpoint_exists(path)
+    assert int(ckio.restore_params(path)['step']) == 7
+
+    os.rename(path + '.new', path + '.old')
+    assert ckio.checkpoint_exists(path)
+    assert int(ckio.restore_params(path)['step']) == 7
+
+    assert not ckio.checkpoint_exists(str(tmp_path / 'nothing'))
