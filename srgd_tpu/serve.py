@@ -101,6 +101,11 @@ def parse_args(argv=None):
     p.add_argument('--quant_calibrate', action='store_true')
     p.add_argument('--quant_calibrate_per_time', action='store_true')
     p.add_argument('--mesh', type=str, default='')
+    p.add_argument('--stall_timeout_seconds', type=float, default=600.0,
+                   help='healthz reports 503 "stalled" once a device sample '
+                        'has been in flight this long (a wedged accelerator '
+                        'path never returns — this lets a liveness probe '
+                        'restart the daemon); 0 disables')
     return p.parse_args(argv)
 
 
@@ -312,13 +317,16 @@ class Server:
         with self.stats_lock:
             self.stats['errors'] += 1
 
+    def sample_inflight_seconds(self):
+        with self.stats_lock:
+            started = self._sample_started
+        return (time.time() - started) if started else 0.0
+
     def stats_snapshot(self):
         """Counters for /stats (JSON) and /metrics (Prometheus text)."""
         with self.stats_lock:
             s = dict(self.stats)
-            started = self._sample_started
-        s['sample_inflight_seconds'] = (
-            round(time.time() - started, 3) if started else 0.0)
+        s['sample_inflight_seconds'] = round(self.sample_inflight_seconds(), 3)
         s['uptime_seconds'] = time.time() - s.pop('started')
         s['quarantined'] = len(self.quarantined)
         if self.batcher is not None:
@@ -528,9 +536,19 @@ class Server:
             def do_GET(self):
                 path = urlparse(self.path).path
                 if path == '/healthz':
-                    self._json(200, {'status': 'ok',
-                                     'busy': server.lock.locked(),
-                                     **server.model_info})
+                    inflight = server.sample_inflight_seconds()
+                    stall = server.args.stall_timeout_seconds
+                    if stall and inflight > stall:
+                        # wedged device path: fail liveness so an
+                        # orchestrator restarts the daemon
+                        self._json(503, {
+                            'status': 'stalled',
+                            'sample_inflight_seconds': round(inflight, 3),
+                            **server.model_info})
+                    else:
+                        self._json(200, {'status': 'ok',
+                                         'busy': server.lock.locked(),
+                                         **server.model_info})
                 elif path == '/stats':
                     self._json(200, server.stats_snapshot())
                 elif path == '/metrics':

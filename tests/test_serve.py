@@ -316,6 +316,22 @@ def test_http_endpoints(server):
         assert r.status == 200 and health['status'] == 'ok'
         assert health['lr_bucket'] == 8
 
+        # a sample in flight past --stall_timeout_seconds fails liveness
+        # (wedged accelerator paths never return; the probe must restart us)
+        with server.stats_lock:
+            server._sample_started = time.time() - 9.0
+        server.args.stall_timeout_seconds = 5.0
+        conn.request('GET', '/healthz')
+        r = conn.getresponse()
+        stalled = json.loads(r.read())
+        assert r.status == 503 and stalled['status'] == 'stalled'
+        assert stalled['sample_inflight_seconds'] >= 9.0
+        with server.stats_lock:
+            server._sample_started = None
+        conn.request('GET', '/healthz')
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read())['status'] == 'ok'
+
         buf = io.BytesIO()
         Image.fromarray((np.random.RandomState(2).rand(6, 6, 3) * 255)
                         .astype(np.uint8)).save(buf, format='PNG')
