@@ -398,3 +398,38 @@ def test_per_time_calibration_other_families(model):
                                num_sample_steps=4)
     assert out.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_per_time_calibrated_matches_single_device():
+    """Per-time calibrated scales under the tile-data-parallel mesh: the
+    select_time_stats gather (argmin + slice over the stacked stats) must
+    behave identically under GSPMD. Scales are static here, so the only
+    drift source is GSPMD reduction order in the surrounding norm math
+    flipping occasional int8 round decisions (same statistical contract as
+    the dynamic-scale mesh test above)."""
+    from srgd_tpu.parallel.mesh import canvas_sharding, make_mesh, replicated
+
+    conf = _tiny_conf(unet_dim=8)
+    qnet, params = _init_net(conf)
+    wrapper = build_wrapper(conf, qnet)
+    params = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
+                               tile_size=16, batch=2, n_times=3,
+                               per_time=True)
+    assert 'quant_stats_t' in params
+    rng = jax.random.PRNGKey(5)
+    cond = jax.random.uniform(jax.random.PRNGKey(6), (1, 56, 56, 3))
+    label = jnp.asarray([1])
+
+    fn = lambda p, c: wrapper.tiled_sample(p, rng, c, label, tile_size=16,
+                                           batch_size=8, num_sample_steps=2)
+    want = np.asarray(jax.jit(fn)(params, cond))
+
+    mesh = make_mesh((8, 1))
+    with mesh:
+        got = np.asarray(jax.jit(fn)(
+            jax.device_put(params, replicated(mesh)),
+            jax.device_put(cond, canvas_sharding(mesh))))
+    d = got - want
+    psnr = -10 * np.log10(max(float(np.mean(d * d)), 1e-20))
+    assert psnr > 25.0, psnr
+    assert float(np.mean(np.abs(d) > 1e-3)) < 0.20
