@@ -1,4 +1,4 @@
-"""PyTorch .pth checkpoint -> Flax params conversion.
+"""PyTorch .pth checkpoint <-> Flax params conversion (both directions).
 
 The reference checkpoint is ``torch.load(path)['ema_model']``: the state dict
 of the EMA shadow of the diffusion *wrapper*, so U-Net tensors live under the
@@ -215,6 +215,132 @@ def convert_learned_log_snr(extras: dict, dtype=np.float32):
                 arr = dense_kernel(arr)
             out.setdefault(layer, {})[leaf] = np.asarray(arr, dtype)
     return out or None
+
+
+# ---------------------------------------------------------------------------
+# Reverse conversion: flax params -> reference torch key layout
+# ---------------------------------------------------------------------------
+
+def inv_conv_kernel(w: np.ndarray) -> np.ndarray:
+    """HWIO -> OIHW."""
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+def inv_dense_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _rev_resnet(mod: dict, tp: str, out: dict):
+    out[f'{tp}.mlp.1.weight'] = inv_dense_kernel(mod['mlp']['kernel'])
+    out[f'{tp}.mlp.1.bias'] = mod['mlp']['bias']
+    for b in ('block1', 'block2'):
+        blk = mod[b]
+        out[f'{tp}.{b}.proj.weight'] = inv_conv_kernel(blk['proj']['kernel'])
+        out[f'{tp}.{b}.proj.bias'] = blk['proj']['bias']
+        out[f'{tp}.{b}.norm.weight'] = blk['norm_scale']
+        out[f'{tp}.{b}.norm.bias'] = blk['norm_bias']
+    if 'res_conv' in mod:
+        out[f'{tp}.res_conv.weight'] = inv_conv_kernel(mod['res_conv']['kernel'])
+        out[f'{tp}.res_conv.bias'] = mod['res_conv']['bias']
+
+
+def _rev_attn(mod: dict, tp: str, out: dict):
+    out[f'{tp}.norm.g'] = np.reshape(mod['norm']['g'], (1, -1, 1, 1))
+    out[f'{tp}.to_qkv.weight'] = inv_conv_kernel(mod['to_qkv']['kernel'])
+    if 'out_norm' in mod:
+        # linear attention: to_out is Sequential(conv1x1, RMSNorm)
+        out[f'{tp}.to_out.0.weight'] = inv_conv_kernel(mod['to_out']['kernel'])
+        out[f'{tp}.to_out.0.bias'] = mod['to_out']['bias']
+        out[f'{tp}.to_out.1.g'] = np.reshape(mod['out_norm']['g'],
+                                             (1, -1, 1, 1))
+    else:
+        out[f'{tp}.to_out.weight'] = inv_conv_kernel(mod['to_out']['kernel'])
+        out[f'{tp}.to_out.bias'] = mod['to_out']['bias']
+
+
+def _rev_conv(mod: dict, tkey: str, out: dict):
+    out[f'{tkey}.weight'] = inv_conv_kernel(mod['kernel'])
+    if 'bias' in mod:
+        out[f'{tkey}.bias'] = mod['bias']
+
+
+def flax_to_torch_unet_state_dict(params: dict, *,
+                                  pixel_shuffle_upsample: bool = True,
+                                  dtype=np.float32) -> dict:
+    """Inverse of :func:`convert_unet_state_dict`: flax U-Net params ->
+    unet-relative reference torch keys (numpy values; OIHW convs,
+    (out, in) linears, (1, C, 1, 1) RMSNorm gains).
+
+    Structure cues come from the params tree itself: attention kind from the
+    ``out_norm`` presence, bare-conv final up/down stages from a top-level
+    ``kernel``; only the PixelShuffle-vs-Nearest upsample Sequential index
+    needs the config flag (both hold one conv named ``conv``).
+    """
+    out: dict = {}
+    _rev_conv(params['init_conv'], 'init_conv', out)
+    tm = params['time_mlp']
+    if 'pos_emb' in tm:       # learned-sinusoidal (torch Sequential idx 0)
+        out['time_mlp.0.weights'] = tm['pos_emb']['weights']
+    out['time_mlp.1.weight'] = inv_dense_kernel(tm['fc1']['kernel'])
+    out['time_mlp.1.bias'] = tm['fc1']['bias']
+    out['time_mlp.3.weight'] = inv_dense_kernel(tm['fc2']['kernel'])
+    out['time_mlp.3.bias'] = tm['fc2']['bias']
+    if 'class_mlp' in params:
+        cm = params['class_mlp']
+        out['class_mlp.0.weight'] = cm['emb']['embedding']
+        out['class_mlp.1.weight'] = inv_dense_kernel(cm['fc1']['kernel'])
+        out['class_mlp.1.bias'] = cm['fc1']['bias']
+        out['class_mlp.3.weight'] = inv_dense_kernel(cm['fc2']['kernel'])
+        out['class_mlp.3.bias'] = cm['fc2']['bias']
+
+    n_stages = 1 + max(int(k.split('_')[1]) for k in params
+                       if k.startswith('downs_'))
+    for updown in ('downs', 'ups'):
+        for i in range(n_stages):
+            for j in (0, 1):
+                _rev_resnet(params[f'{updown}_{i}_{j}'],
+                            f'{updown}.{i}.{j}', out)
+            _rev_attn(params[f'{updown}_{i}_2'], f'{updown}.{i}.2', out)
+            tail = params[f'{updown}_{i}_3']
+            if 'kernel' in tail:                       # bare final-stage conv
+                _rev_conv(tail, f'{updown}.{i}.3', out)
+            elif updown == 'downs':                    # Downsample Sequential
+                _rev_conv(tail['conv'], f'{updown}.{i}.3.1', out)
+            elif pixel_shuffle_upsample:               # PixelShuffle net.0
+                _rev_conv(tail['conv'], f'{updown}.{i}.3.net.0', out)
+            else:                                      # Nearest Sequential
+                _rev_conv(tail['conv'], f'{updown}.{i}.3.1', out)
+    _rev_resnet(params['mid_block1'], 'mid_block1', out)
+    _rev_attn(params['mid_attn'], 'mid_attn', out)
+    _rev_resnet(params['mid_block2'], 'mid_block2', out)
+    _rev_resnet(params['final_res_block'], 'final_res_block', out)
+    _rev_conv(params['final_conv'], 'final_conv', out)
+    return {k: np.asarray(v, dtype) for k, v in out.items()}
+
+
+def export_torch_state_dict(tree: dict, *, model: str,
+                            pixel_shuffle_upsample: bool = True,
+                            dtype=np.float32) -> dict:
+    """Flax variables -> a reference-format wrapper state dict.
+
+    ``tree``: {'params': unet_params[, 'log_snr': ...]} (what the factory /
+    converter produce). Returns the 'ema_model'-shaped dict the reference
+    loads (model.py:3660-3662): U-Net tensors under 'model.' ('net.' for the
+    EDM family), learned log-SNR net under its torch Sequential keys.
+    Schedule buffers (betas, alphas_cumprod, ...) are NOT emitted — the
+    reference rebuilds them at construction, so the discrete families load
+    with ``load_strict: false``; the shipped continuous model round-trips
+    key-exact.
+    """
+    prefix = 'net.' if 'elucidated' in model else 'model.'
+    sd = {prefix + k: v for k, v in flax_to_torch_unet_state_dict(
+        tree['params'], pixel_shuffle_upsample=pixel_shuffle_upsample,
+        dtype=dtype).items()}
+    if tree.get('log_snr'):
+        for tk, (layer, leaf) in _LEARNED_LOG_SNR_KEYS.items():
+            arr = np.asarray(tree['log_snr'][layer][leaf], dtype)
+            sd[tk] = inv_dense_kernel(arr) if leaf == 'kernel' else arr
+    return sd
 
 
 def convert_checkpoint(path: str, num_stages: int = 4, dtype=np.float32,
