@@ -121,11 +121,30 @@ def main():
     label = jnp.zeros((1,), jnp.int32)
 
     if quant in ('w8a8cal', 'w8a8calt'):
-        from srgd_tpu.nn.quant import calibrate_sampler
-        with timer.phase('calibrate'):
-            params = calibrate_sampler(wrapper, params, jax.random.PRNGKey(7),
-                                       cond_sample=cond * 2.0 - 1.0,
-                                       per_time=(quant == 'w8a8calt'))
+        from srgd_tpu.nn.quant import (calibrate_sampler,
+                                       calibration_fingerprint,
+                                       load_calibration, save_calibration)
+        # BENCH_CAL_CACHE: optional .npz persisting the calibrated scales
+        # across bench runs (the calibrate phase costs ~3.5 min on the
+        # flagship). Bench weights are deterministic (fixed init seed), so
+        # a bench-specific identity string stands in for a checkpoint path.
+        cache = os.environ.get('BENCH_CAL_CACHE', '')
+        fp = calibration_fingerprint(conf, ckpt_path=f'bench:{lr_size}',
+                                     seed=7, per_time=(quant == 'w8a8calt'))
+        cached = (load_calibration(cache, params, fp)
+                  if cache and os.path.exists(cache) else None)
+        if cached is not None:
+            params = cached
+            print('[bench] calibrate phase skipped (cache hit:', cache + ')')
+        else:
+            with timer.phase('calibrate'):
+                params = calibrate_sampler(
+                    wrapper, params, jax.random.PRNGKey(7),
+                    cond_sample=cond * 2.0 - 1.0,
+                    per_time=(quant == 'w8a8calt'))
+            if cache and any(k in params for k in ('quant_stats',
+                                                   'quant_stats_t')):
+                save_calibration(cache, params, fp)
 
     mesh = None
     if use_mesh:

@@ -82,6 +82,12 @@ def parse_args(argv=None):
                         'scales once (PTQ calibration) instead of per-call '
                         'dynamic amax — fastest serving mode, slightly '
                         'larger output divergence')
+    p.add_argument('--quant_calibrate_cache', type=str, default='',
+                   help='with --quant_calibrate: .npz path to persist the '
+                        'recorded scales; a later start that fingerprints '
+                        'to the same model/checkpoint/sampling setup loads '
+                        'it and skips the calibrate phase (~3.5 min on the '
+                        'flagship), any mismatch recalibrates and rewrites')
     p.add_argument('--matmul_precision', type=str, default='default',
                    choices=['default', 'high', 'highest'])
     p.add_argument('--tile_size', type=int, default=256)
@@ -288,7 +294,9 @@ def build_model_and_opts(args):
     wrapper, net, params = get_model(conf)
 
     if args.precision == 'int8' and getattr(args, 'quant_calibrate', False):
-        from srgd_tpu.nn.quant import calibrate_sampler
+        from srgd_tpu.nn.quant import (calibrate_sampler,
+                                       calibration_fingerprint,
+                                       load_calibration, save_calibration)
         if getattr(args, 'quantize_smooth_alpha', 0.0):
             logger.warning(
                 'combining --quant_calibrate with --quantize_smooth_alpha '
@@ -296,11 +304,28 @@ def build_model_and_opts(args):
                 '--quant_calibrate_per_time (static per-tensor scales '
                 'compound calibration drift; docs/PERF.md round 6) — '
                 'smoothing is intended for dynamic scales')
-        params = calibrate_sampler(
-            wrapper, params, jax.random.PRNGKey(args.seed),
-            tile_size=args.tile_size, batch=min(args.batch_size, 4),
-            class_label=args.test_label,
-            per_time=getattr(args, 'quant_calibrate_per_time', False))
+        per_time = getattr(args, 'quant_calibrate_per_time', False)
+        cache = getattr(args, 'quant_calibrate_cache', '')
+        fp = calibration_fingerprint(
+            conf, ckpt_path=args.ckpt_path, tile_size=args.tile_size,
+            per_time=per_time, seed=args.seed, class_label=args.test_label,
+            batch=min(args.batch_size, 4))
+        loaded = None
+        if cache and os.path.exists(cache):
+            loaded = load_calibration(cache, params, fp)
+        if loaded is not None:
+            params = loaded
+            logger.info('loaded calibration cache %s (calibrate phase '
+                        'skipped)', cache)
+        else:
+            params = calibrate_sampler(
+                wrapper, params, jax.random.PRNGKey(args.seed),
+                tile_size=args.tile_size, batch=min(args.batch_size, 4),
+                class_label=args.test_label, per_time=per_time)
+            if cache and any(k in params for k in ('quant_stats',
+                                                   'quant_stats_t')):
+                save_calibration(cache, params, fp)
+                logger.info('saved calibration cache %s', cache)
 
     opts = dict(exec_mode=args.exec_mode,
                 batch_size=args.batch_size, tile_size=args.tile_size,

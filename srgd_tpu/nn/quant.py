@@ -252,6 +252,120 @@ def calibrate_sampler(wrapper, params, rng, *, tile_size=256, batch=4,
     return out
 
 
+CAL_CACHE_VERSION = 1
+_CAL_COLLECTIONS = ('quant_stats', 'quant_stats_t', 'quant_stats_times')
+
+
+def calibration_fingerprint(conf, *, ckpt_path='', tile_size=256,
+                            per_time=False, seed=0, class_label=None,
+                            n_times=6, batch=4):
+    """Meta dict that uniquely determines a calibration result's structure
+    and values: the model geometry + quantization spec fix the quant_stats
+    tree (which convs carry scales, per-channel shapes), the sampling knobs
+    fix the recorded values, and the checkpoint identity (path + size +
+    mtime) fixes the weights the activations flowed through. Exact equality
+    of this dict is the cache-validity criterion in ``load_calibration`` —
+    a fingerprint mismatch can otherwise silently drop stats keys, and a
+    QuantConv without its stats variable falls back to DYNAMIC scales (a
+    quiet perf/quality change, never an error)."""
+    import os
+    fp = {
+        'version': CAL_CACHE_VERSION,
+        'model': conf.model,
+        'unet_dim': conf.unet_dim,
+        'dim_mults': conf.ddpm_unet_dim_mults,
+        'quantize': conf.quantize,
+        'quantize_min_channels': conf.quantize_min_channels,
+        'quantize_smooth_alpha': float(conf.quantize_smooth_alpha),
+        'per_time': bool(per_time),
+        'n_times': int(n_times),
+        'batch': int(batch),
+        'tile_size': int(tile_size),
+        'seed': int(seed),
+        'class_label': None if class_label is None else int(class_label),
+        'ckpt': str(ckpt_path),
+    }
+    if ckpt_path and os.path.exists(ckpt_path):
+        st = os.stat(ckpt_path)
+        fp['ckpt_size'] = st.st_size
+        fp['ckpt_mtime'] = int(st.st_mtime)
+    return fp
+
+
+def save_calibration(path, params, meta):
+    """Persist the calibration collections to ``path`` (.npz).
+
+    Saves whichever of ``quant_stats`` / ``quant_stats_t`` /
+    ``quant_stats_times`` ride on ``params``, flattened with '/'-joined
+    keys, plus the JSON-encoded ``meta`` fingerprint. Raises if ``params``
+    carry no calibration (calling before ``calibrate_sampler`` is a bug,
+    not a cache miss)."""
+    import json
+    import numpy as np
+    from flax import traverse_util
+
+    if not isinstance(params, dict):
+        raise ValueError('save_calibration: params is not a variables dict')
+    cols = {k: params[k] for k in _CAL_COLLECTIONS if k in params}
+    if not cols:
+        raise ValueError(
+            'save_calibration: params carry no quant_stats collections — '
+            'run calibrate_sampler first (or the net has no QuantConv at '
+            'this quantize_min_channels)')
+    flat = {}
+    for col, tree in cols.items():
+        if col == 'quant_stats_times':
+            flat[col] = np.asarray(tree)
+            continue
+        for k, v in traverse_util.flatten_dict(tree, sep='/').items():
+            flat[f'{col}/{k}'] = np.asarray(v)
+    meta_json = json.dumps(meta, sort_keys=True)
+    np.savez(path, __meta__=np.frombuffer(meta_json.encode(), np.uint8),
+             **flat)
+
+
+def load_calibration(path, params, meta):
+    """Load a calibration cache saved by ``save_calibration``.
+
+    Returns ``params`` merged with the cached collections when the stored
+    fingerprint equals ``meta`` exactly; returns ``None`` (with a warning
+    naming the differing fields) on any mismatch so callers recalibrate.
+    Raises on a structurally corrupt file."""
+    import json
+    import logging
+    import numpy as np
+    from flax import traverse_util
+
+    with np.load(path) as z:
+        if '__meta__' not in z:
+            raise ValueError(f'{path}: not a calibration cache (no meta)')
+        stored = json.loads(bytes(z['__meta__']).decode())
+        if stored != meta:
+            diff = sorted(k for k in set(stored) | set(meta)
+                          if stored.get(k) != meta.get(k))
+            logging.getLogger(__name__).warning(
+                'calibration cache %s does not match the current model/'
+                'sampling setup (differs on: %s) — recalibrating', path,
+                ', '.join(diff))
+            return None
+        cols = {}
+        for key in z.files:
+            if key == '__meta__':
+                continue
+            col, _, rest = key.partition('/')
+            if col not in _CAL_COLLECTIONS:
+                raise ValueError(f'{path}: unexpected entry {key!r}')
+            if col == 'quant_stats_times':
+                cols[col] = jnp.asarray(z[key])
+            else:
+                cols.setdefault(col, {})[rest] = jnp.asarray(z[key])
+    out = dict(params)
+    for col, tree in cols.items():
+        out[col] = (tree if not isinstance(tree, dict)
+                    else traverse_util.unflatten_dict(tree, sep='/'))
+    return out
+
+
 def conv(features, kernel_size, *, padding=0, use_bias=True,
          dtype=jnp.float32, quant: Optional[str] = None,
          kernel_init=None, bias_init=None, name=None):

@@ -100,6 +100,10 @@ def parse_args(argv=None):
     p.add_argument('--quantize_smooth_alpha', type=float, default=0.0)
     p.add_argument('--quant_calibrate', action='store_true')
     p.add_argument('--quant_calibrate_per_time', action='store_true')
+    p.add_argument('--quant_calibrate_cache', type=str, default='',
+                   help='.npz path persisting the calibrated scales across '
+                        'daemon restarts (fingerprint-checked; a mismatch '
+                        'recalibrates and rewrites)')
     p.add_argument('--mesh', type=str, default='')
     p.add_argument('--stall_timeout_seconds', type=float, default=600.0,
                    help='healthz reports 503 "stalled" once a device sample '

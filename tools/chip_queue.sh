@@ -65,9 +65,11 @@ run_item q20_ladder256_badseed 3600 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_MODES='float32,w8a8dyn,w8a8,w8a8t' \
     python tools/quality_probe.py
 
-# q30: per-time throughput at >=256ch coverage
+# q30: per-time throughput at >=256ch coverage (calibration cached so a
+# queue re-run after a relay death skips the ~3.5 min calibrate phase)
 run_item q30_bench_pertime256 2400 env BENCH_QUANT=w8a8calt \
-    BENCH_QUANT_MIN_CH=256 python bench.py
+    BENCH_QUANT_MIN_CH=256 BENCH_CAL_CACHE="$CHIPQ_DIR/cal_calt256.npz" \
+    python bench.py
 
 # q40: per-time at the shipping >=512ch coverage (quality headroom check)
 run_item q40_ladder512_pertime 2400 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
@@ -84,6 +86,7 @@ else
 fi
 
 # q60: headline bench reconfirmation on the current default
-run_item q60_bench_default 2400 python bench.py
+run_item q60_bench_default 2400 env \
+    BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
 
 echo "[chipq] queue complete; logs in $CHIPQ_DIR"

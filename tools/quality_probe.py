@@ -93,20 +93,26 @@ def main():
         print(f'{mode}: sampled {hr}px, {steps} steps in '
               f'{time.time() - t0:.1f}s', flush=True)
         outs[mode] = out
-
-    ref = modes[0]
-    a = outs[ref]
-    for mode in modes[1:]:
-        b = outs[mode]
-        mse = float(np.mean((a - b) ** 2))
-        psnr = -10 * np.log10(max(mse, 1e-20))
-        # PSNR of each vs the quantized-to-uint8 other (what users see)
-        qa = np.round(a * 255) / 255
-        qb = np.round(b * 255) / 255
-        mse_q = float(np.mean((qa - qb) ** 2))
-        print(f'{mode} vs {ref}: PSNR {psnr:.2f} dB  '
-              f'(max|d| {np.abs(a - b).max():.4f}, uint8-quantized PSNR '
-              f'{-10 * np.log10(max(mse_q, 1e-20)):.2f} dB)', flush=True)
+        if os.environ.get('QP_SAVE_DIR'):
+            # persist each canvas as it lands: the TPU relay can die
+            # mid-ladder, and completed modes are capture-it-now data
+            os.makedirs(os.environ['QP_SAVE_DIR'], exist_ok=True)
+            np.save(os.path.join(os.environ['QP_SAVE_DIR'],
+                                 f'{mode.replace("@", "_a")}.npy'), out)
+        # compare-as-you-go for the same reason (the reference mode is
+        # always modes[0], so it lands before every comparison target)
+        ref = modes[0]
+        if mode != ref and ref in outs:
+            a, b = outs[ref], out
+            mse = float(np.mean((a - b) ** 2))
+            psnr = -10 * np.log10(max(mse, 1e-20))
+            # PSNR of each vs the quantized-to-uint8 other (what users see)
+            qa = np.round(a * 255) / 255
+            qb = np.round(b * 255) / 255
+            mse_q = float(np.mean((qa - qb) ** 2))
+            print(f'{mode} vs {ref}: PSNR {psnr:.2f} dB  '
+                  f'(max|d| {np.abs(a - b).max():.4f}, uint8-quantized PSNR '
+                  f'{-10 * np.log10(max(mse_q, 1e-20)):.2f} dB)', flush=True)
 
 
 if __name__ == '__main__':
