@@ -65,8 +65,11 @@ def main():
 
     # honor JAX_PLATFORMS=cpu for harness smoke tests (the axon site hook
     # re-registers the TPU programmatically; see utils/platform.py)
-    from srgd_tpu.utils.platform import sync_platform_env
+    from srgd_tpu.utils.platform import (assert_accelerator_reachable,
+                                         sync_platform_env)
     sync_platform_env()
+    # fail in seconds (not hang forever) when the TPU relay is down
+    assert_accelerator_reachable()
 
     import jax
     import jax.numpy as jnp

@@ -345,8 +345,10 @@ def build_model_and_opts(args):
 
 
 def main(argv=None):
-    from srgd_tpu.utils.platform import sync_platform_env
+    from srgd_tpu.utils.platform import (assert_accelerator_reachable,
+                                         sync_platform_env)
     sync_platform_env()
+    assert_accelerator_reachable()
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(name)s %(levelname)s %(message)s')
     args = parse_args(argv)

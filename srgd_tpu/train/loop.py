@@ -327,8 +327,10 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
 
 
 def main(argv=None):
-    from srgd_tpu.utils.platform import sync_platform_env
+    from srgd_tpu.utils.platform import (assert_accelerator_reachable,
+                                         sync_platform_env)
     sync_platform_env()
+    assert_accelerator_reachable()
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(name)s %(message)s')
     p = argparse.ArgumentParser()

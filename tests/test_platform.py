@@ -41,3 +41,61 @@ def test_sync_platform_env_noop_when_unset():
     finally:
         if saved is not None:
             os.environ['JAX_PLATFORMS'] = saved
+
+
+def test_reachability_noop_off_axon(monkeypatch):
+    """cpu / unset / other platforms: never probe, never raise."""
+    from srgd_tpu.utils.platform import assert_accelerator_reachable
+    for val in ('cpu', '', 'tpu,cpu'):
+        if val:
+            monkeypatch.setenv('JAX_PLATFORMS', val)
+        else:
+            monkeypatch.delenv('JAX_PLATFORMS', raising=False)
+        assert_accelerator_reachable(timeout=0.1)
+
+
+def test_reachability_fails_fast_on_dead_relay(monkeypatch):
+    """With the axon platform configured and no relay listener, the entry
+    points must error in seconds (jax.devices() would hang forever)."""
+    import socket
+    import time
+
+    import pytest
+
+    import srgd_tpu.utils.platform as plat
+    monkeypatch.setenv('JAX_PLATFORMS', 'axon')
+    # claim ports nothing listens on (bind-without-listen reserves them,
+    # connects get refused) so the test is hermetic even if a real relay
+    # is alive on this box
+    socks = []
+    ports = []
+    for _ in plat._RELAY_PORTS:
+        s = socket.socket()
+        s.bind(('127.0.0.1', 0))
+        socks.append(s)
+        ports.append(s.getsockname()[1])
+    monkeypatch.setattr(plat, '_RELAY_PORTS', tuple(ports))
+    try:
+        t0 = time.time()
+        with pytest.raises(RuntimeError, match='relay is unreachable'):
+            plat.assert_accelerator_reachable(timeout=1.0)
+        assert time.time() - t0 < 10
+    finally:
+        for s in socks:
+            s.close()
+
+
+def test_reachability_passes_with_listener(monkeypatch):
+    import socket
+
+    import srgd_tpu.utils.platform as plat
+    monkeypatch.setenv('JAX_PLATFORMS', 'axon')
+    srv = socket.socket()
+    srv.bind(('127.0.0.1', 0))
+    srv.listen(1)
+    monkeypatch.setattr(plat, '_RELAY_PORTS',
+                        (srv.getsockname()[1],))
+    try:
+        plat.assert_accelerator_reachable(timeout=1.0)
+    finally:
+        srv.close()
