@@ -101,6 +101,15 @@ def main():
         conf.quantize = 'w8a8'
         conf.quantize_min_channels = quant_min_ch
         conf.quantize_smooth_alpha = quant_smooth
+    # BENCH_DEEPCACHE='N' or 'N:D': DeepCache fast sampling (recompute the
+    # U-Net deep half every Nth step per parity, cached in between; D = the
+    # split stage, default 2). Approximate sampling — NOT the headline
+    # default; quality ladder in docs/PERF.md.
+    dc_env = os.environ.get('BENCH_DEEPCACHE', '0')
+    if dc_env not in ('', '0'):
+        n, _, d = dc_env.partition(':')
+        conf.deep_cache_interval = int(n)
+        conf.deep_cache_depth = int(d) if d else 2
     if use_mesh:
         # the fused pallas blocks are single-device; the mesh path runs the
         # identical-math XLA formulation under GSPMD

@@ -232,6 +232,13 @@ class Config:
                                       # updates for the continuous family —
                                       # additive fast-sampling mode (the
                                       # reference ships ancestral only)
+    deep_cache_interval: int = 0      # >1: DeepCache-style sampling — the
+                                      # U-Net's deep half recomputes only
+                                      # every Nth step (per grid parity when
+                                      # tiled); continuous family only.
+                                      # 0/1 = exact sampling (default)
+    deep_cache_depth: int = 2         # U-Net stage where the cached deep
+                                      # half starts (1..n_stages-1)
     lpips_weights_path: str = ''      # converted VGG16+LPIPS .npz for
                                       # test_target: best_lpips (utils/lpips.py)
 

@@ -70,17 +70,27 @@ def resolve_guidance_mode(cond_scale: float, class_cond_scale: float) -> str:
 
 
 def guided_denoise(net_apply: Callable, params, x, time_b, cond, class_label,
-                   mode: str, scale):
+                   mode: str, scale, deep_cache=None, return_cache=False):
     """One (possibly doubled-batch) denoiser call with CFG merge.
 
     net_apply(params, x, time, cond, class_label, class_mask) -> prediction.
     ``scale`` may be a traced scalar (guidance warmup); when it equals 1.0 the
     merge reduces to the conditional output exactly, matching the reference's
     warmup behavior of calling the net once (model.py:3349-3356).
+
+    Deep-feature caching (nn/unet.py): ``return_cache=True`` makes the call
+    return (prediction, cache); ``deep_cache=<cache>`` runs the net's
+    shallow-only program with that cache. The cache is always sample-major —
+    under CFG the net's doubled batch is folded to (B, 2, ...) on the way
+    out and unfolded on the way in, so samplers can store one cache row per
+    sample regardless of the guidance mode.
     """
     b = x.shape[0]
+    kw = {}
+    if deep_cache is not None or return_cache:
+        kw = dict(deep_cache=deep_cache, return_cache=return_cache)
     if mode == GUIDANCE_NONE:
-        return net_apply(params, x, time_b, cond, class_label, None)
+        return net_apply(params, x, time_b, cond, class_label, None, **kw)
 
     x2 = jnp.concatenate([x, x], axis=0)
     t2 = jnp.concatenate([time_b, time_b], axis=0)
@@ -95,9 +105,17 @@ def guided_denoise(net_apply: Callable, params, x, time_b, cond, class_label,
         mask2 = jnp.concatenate(
             [jnp.ones((b,), jnp.float32), jnp.zeros((b,), jnp.float32)], axis=0)
 
-    out2 = net_apply(params, x2, t2, cond2, label2, mask2)
+    if deep_cache is not None:
+        # (B, 2, ...) sample-major -> (2B, ...) doubled-batch order
+        kw['deep_cache'] = jnp.concatenate(
+            [deep_cache[:, 0], deep_cache[:, 1]], axis=0)
+    out2 = net_apply(params, x2, t2, cond2, label2, mask2, **kw)
+    if return_cache:
+        out2, cache2 = out2
+        cache = jnp.stack([cache2[:b], cache2[b:]], axis=1)
     cond_out, null_out = out2[:b], out2[b:]
-    return null_out + (cond_out - null_out) * scale
+    merged = null_out + (cond_out - null_out) * scale
+    return (merged, cache) if return_cache else merged
 
 
 def chunked_map(fn: Callable, n_chunks: int, *arrays):

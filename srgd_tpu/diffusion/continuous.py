@@ -31,7 +31,7 @@ import numpy as np
 
 from srgd_tpu.diffusion import schedules
 from srgd_tpu.diffusion.base import (
-    GUIDANCE_CLASS, GUIDANCE_COND, chunked_map, crop_frames,
+    GUIDANCE_CLASS, GUIDANCE_COND, GUIDANCE_NONE, chunked_map, crop_frames,
     guided_denoise, normalize_to_neg_one_to_one, pad_tiles_to_multiple,
     prepare_tile_context, resolve_guidance_mode, run_tiled_host_loop,
     select_time_stats,
@@ -62,6 +62,16 @@ class ContinuousDiffusion:
                                   # — deterministic eta=0 update, additive:
                                   # the reference's continuous family ships
                                   # ancestral-only (model.py:3174-3188)
+    deep_cache_interval: int = 0  # >1: recompute the U-Net's deep half only
+                                  # every Nth step (per grid parity when
+                                  # tiled), reusing the cached deep decoder
+                                  # feature in between (DeepCache-style,
+                                  # nn/unet.py docstring). 0/1 = exact
+                                  # sampling. Training-free approximation —
+                                  # quality ladder in docs/PERF.md.
+    deep_cache_depth: int = 2     # U-Net stage where the cached deep half
+                                  # starts (1..len(dim_mults)-1); smaller =
+                                  # more skipped compute, bigger cache
 
     def __post_init__(self):
         self._jit_cache = {}
@@ -72,12 +82,26 @@ class ContinuousDiffusion:
                 lambda sp, steps: schedules.learned_log_snr(sp, steps))
 
     # ------------------------------------------------------------------
-    def net_apply(self, params, x, time_b, cond, class_label, class_mask):
+    def net_apply(self, params, x, time_b, cond, class_label, class_mask,
+                  **cache_kw):
         if isinstance(params, dict) and 'log_snr' in params:
             params = {k: v for k, v in params.items() if k != 'log_snr'}
         params = select_time_stats(params, time_b[0])
+        if cache_kw:
+            cache_kw['cache_depth'] = self.deep_cache_depth
         return self.net.apply(params, x, time_b, cond=cond,
-                              class_label=class_label, class_mask=class_mask)
+                              class_label=class_label, class_mask=class_mask,
+                              **cache_kw)
+
+    def _cache_zeros(self, batch, h, w, mode):
+        """Initial (never-read) deep-cache buffer: sample-major, with a CFG
+        pair axis when guidance doubles the net batch (base.guided_denoise)."""
+        d = self.deep_cache_depth
+        mults = self.net.dim_mults
+        shape = (batch, h >> (d - 1), w >> (d - 1), self.net.dim * mults[d - 1])
+        if mode != GUIDANCE_NONE:
+            shape = (batch, 2) + shape[1:]
+        return jnp.zeros(shape, self.net.dtype)
 
     def log_snr(self, t, schedule_params=None):
         """Continuous log-SNR; for the learned schedule, schedule_params is
@@ -109,11 +133,13 @@ class ContinuousDiffusion:
     # Core step math
     # ------------------------------------------------------------------
     def p_sample_tiles(self, params, x, cond, class_label, noise,
-                       log_snr, log_snr_next, mode: str, scale, is_last):
+                       log_snr, log_snr_next, mode: str, scale, is_last,
+                       deep_cache=None, return_cache=False):
         """One reverse step on a batch of tiles (or a whole image batch).
 
         log_snr / log_snr_next / scale / is_last are traced scalars.
-        Returns (next_x, x_start)."""
+        Returns (next_x, x_start), with the fresh deep-feature cache
+        appended when ``return_cache`` is set (deep-cache sampling)."""
         c = -jnp.expm1(log_snr - log_snr_next)
         alpha = jnp.sqrt(jax.nn.sigmoid(log_snr))
         sigma = jnp.sqrt(jax.nn.sigmoid(-log_snr))
@@ -122,7 +148,11 @@ class ContinuousDiffusion:
 
         time_b = jnp.full((x.shape[0],), log_snr, dtype=jnp.float32)
         eps = guided_denoise(self.net_apply, params, x, time_b, cond,
-                             class_label, mode, scale)
+                             class_label, mode, scale,
+                             deep_cache=deep_cache, return_cache=return_cache)
+        cache = None
+        if return_cache:
+            eps, cache = eps
 
         x_start = (x - sigma * eps) / alpha
         if self.sampler == 'ddim':
@@ -134,7 +164,7 @@ class ContinuousDiffusion:
                 eps = (x - alpha * x_start) / sigma
             next_x = (alpha_next * x_start
                       + jnp.sqrt(sq_sigma_next) * eps)
-            return next_x, x_start
+            return (next_x, x_start, cache) if return_cache else (next_x, x_start)
 
         if self.clip_sample_denoised:
             x_start = jnp.clip(x_start, -1.0, 1.0)
@@ -144,7 +174,7 @@ class ContinuousDiffusion:
 
         var = sq_sigma_next * c
         next_x = jnp.where(is_last, mean, mean + jnp.sqrt(jnp.maximum(var, 0.0)) * noise)
-        return next_x, x_start
+        return (next_x, x_start, cache) if return_cache else (next_x, x_start)
 
     # ------------------------------------------------------------------
     # q(x_t | x_0)
@@ -196,7 +226,10 @@ class ContinuousDiffusion:
             img = init_noise
         init_img = img  # frame 0 of both capture stacks (model.py:3205-3211)
 
-        def step(img, i):
+        interval = self.deep_cache_interval
+
+        def step(carry, i):
+            img, cache = carry if interval > 1 else (carry, None)
             key = jax.random.fold_in(rng, i)
             scale = self._step_scale(i, mode, cond_scale, guidance_start_steps,
                                      class_cond_scale, class_guidance_start_steps)
@@ -204,15 +237,43 @@ class ContinuousDiffusion:
                 noise = jax.random.normal(key, img.shape, jnp.float32)
             else:
                 noise = step_noises[i]
-            img, x_start = self.p_sample_tiles(
-                params, img, cond, class_label, noise,
-                table[i], table[i + 1], mode, scale, is_last=(i == n_steps - 1))
+            is_last = i == n_steps - 1
+            if interval > 1:
+                # refresh the deep half every Nth executed step; in between
+                # only the shallow half runs on the cached deep feature
+                def full_fn(args):
+                    img, _ = args
+                    return self.p_sample_tiles(
+                        params, img, cond, class_label, noise,
+                        table[i], table[i + 1], mode, scale, is_last,
+                        return_cache=True)
+
+                def cached_fn(args):
+                    img, cache = args
+                    nx, xs = self.p_sample_tiles(
+                        params, img, cond, class_label, noise,
+                        table[i], table[i + 1], mode, scale, is_last,
+                        deep_cache=cache)
+                    return nx, xs, cache
+
+                refresh = ((i - generation_start_steps) % interval) == 0
+                img, x_start, cache = jax.lax.cond(
+                    refresh, full_fn, cached_fn, (img, cache))
+            else:
+                img, x_start = self.p_sample_tiles(
+                    params, img, cond, class_label, noise,
+                    table[i], table[i + 1], mode, scale, is_last)
             ys = (img if capture_trajectory else None,
                   x_start if capture_x0 else None)
-            return img, ys
+            return ((img, cache) if interval > 1 else img), ys
 
         idxs = jnp.arange(generation_start_steps, n_steps)
-        img, (traj, x0_traj) = jax.lax.scan(step, img, idxs)
+        carry = img
+        if interval > 1:
+            carry = (img, self._cache_zeros(img.shape[0], img.shape[1],
+                                            img.shape[2], mode))
+        carry, (traj, x0_traj) = jax.lax.scan(step, carry, idxs)
+        img = carry[0] if interval > 1 else carry
 
         out = unnormalize_to_zero_to_one(jnp.clip(img, -1.0, 1.0))
         rets = (out,)
@@ -287,17 +348,32 @@ class ContinuousDiffusion:
         cond_tiles, label_tiles, n_chunks, chunks, interior_mask = \
             prepare_tile_context(cond_padded, geom, b, batch_size, class_label)
 
-        def make_parity_step(parity: int):
+        dc = self.deep_cache_interval if self.deep_cache_interval > 1 else 0
+        if dc and (capture_trajectory or capture_x0):
+            raise NotImplementedError(
+                'deep_cache_interval > 1 with tiled debug captures is not '
+                'supported: the per-step state stack would also stack the '
+                'per-tile deep-feature caches. Capture with deep-cache off.')
+
+        def make_parity_step(parity: int, variant: str = 'std'):
             """One full step on one grid parity, as an explicit-args function
             (jittable standalone for host-loop mode). ``table`` is an argument,
             not a closure, so the cached host-loop jits never capture
             params-derived values (learned schedule) in a stale closure.
 
             State is the canvas, or (canvas, x0_canvas) when capturing x0
-            (the reference threads an x_start canvas, model.py:3331, 3377-3390)."""
+            (the reference threads an x_start canvas, model.py:3331, 3377-3390).
+            With deep-cache sampling (variant 'full'/'cached') the state is
+            (canvas, cache_even, cache_odd): per-parity stacks of per-tile
+            deep-feature caches, refreshed by 'full' steps and consumed
+            untouched by 'cached' steps."""
 
             def pstep(params, state, ctiles, ltiles, rng, i, table):
-                img, x0c = state if capture_x0 else (state, None)
+                if variant != 'std':
+                    img, x0c = state[0], None
+                    caches = list(state[1:])
+                else:
+                    img, x0c = state if capture_x0 else (state, None)
                 key = jax.random.fold_in(rng, i)
                 key_t, key_m = jax.random.split(key)
                 scale = self._step_scale(
@@ -312,17 +388,33 @@ class ContinuousDiffusion:
                     extract_tiles(noise_canvas, geom, parity), chunks[parity])
                 is_last = i == n_steps - 1
 
-                def chunk_fn(xs, cs, ns, *maybe_label):
-                    lb = maybe_label[0] if maybe_label else None
+                def chunk_fn(xs, cs, ns, *rest):
+                    if variant == 'cached':
+                        cch, rest = rest[0], rest[1:]
+                    lb = rest[0] if rest else None
+                    if variant == 'full':
+                        nx, _, cc = self.p_sample_tiles(
+                            params, xs, cs, lb, ns, table[i], table[i + 1],
+                            mode, scale, is_last, return_cache=True)
+                        return nx, cc
+                    if variant == 'cached':
+                        nx, _ = self.p_sample_tiles(
+                            params, xs, cs, lb, ns, table[i], table[i + 1],
+                            mode, scale, is_last, deep_cache=cch)
+                        return nx
                     nx, xs0 = self.p_sample_tiles(
                         params, xs, cs, lb, ns, table[i], table[i + 1],
                         mode, scale, is_last)
                     return (nx, xs0) if capture_x0 else nx
 
                 args = (tiles, ctiles, noise)
+                if variant == 'cached':
+                    args = args + (caches[parity],)
                 if ltiles is not None:
                     args = args + (ltiles,)
                 out = chunked_map(chunk_fn, n_chunks[parity], *args)
+                if variant == 'full':
+                    out, caches[parity] = out
                 if capture_x0:
                     img = scatter_tiles(img, out[0][:n_orig], geom, parity)
                     x0c = scatter_tiles(x0c, out[1][:n_orig], geom, parity)
@@ -337,6 +429,8 @@ class ContinuousDiffusion:
                     fresh = jax.random.normal(
                         key_m, img.shape, jnp.float32) * sigma_next
                     img = img * interior_mask + fresh * (1.0 - interior_mask)
+                if variant != 'std':
+                    return (img, caches[0], caches[1])
                 return (img, x0c) if capture_x0 else img
 
             return pstep
@@ -344,6 +438,16 @@ class ContinuousDiffusion:
         capture = capture_trajectory or capture_x0
         init_img = img
         state = (img, img) if capture_x0 else img
+        gss = generation_start_steps
+        if dc:
+            # per-parity stacks of per-tile deep-feature caches, padded to
+            # the chunked tile count (zeros are never read: each parity's
+            # first visit is a 'full' step)
+            state = (img,) + tuple(
+                self._cache_zeros(cond_tiles[p].shape[0],
+                                  cond_tiles[p].shape[1],
+                                  cond_tiles[p].shape[2], mode)
+                for p in (0, 1))
 
         indices = range(generation_start_steps, n_steps)
         if host_loop:
@@ -351,29 +455,65 @@ class ContinuousDiffusion:
                          class_cond_scale, guidance_start_steps,
                          class_guidance_start_steps, tuple(chunks), tuple(n_chunks),
                          class_label is None, b, self.noise_schedule,
-                         self.clip_sample_denoised, capture_x0, self.sampler)
+                         self.clip_sample_denoised, capture_x0, self.sampler,
+                         dc, self.deep_cache_depth)
+            if dc:
+                builders = {(p, v): (lambda p=p, v=v: make_parity_step(p, v))
+                            for p in (0, 1) for v in ('full', 'cached')}
+                select = lambda i: (((i % 2), 'full'
+                                     if ((i - gss) // 2) % dc == 0
+                                     else 'cached'), i % 2)
+            else:
+                builders = {0: lambda: make_parity_step(0),
+                            1: lambda: make_parity_step(1)}
+                select = lambda i: (i % 2, i % 2)
             state, frames = run_tiled_host_loop(
-                self._jit_cache, cache_key,
-                {0: lambda: make_parity_step(0), 1: lambda: make_parity_step(1)},
-                lambda i: (i % 2, i % 2), params, state, cond_tiles, label_tiles,
+                self._jit_cache, cache_key, builders,
+                select, params, state, cond_tiles, label_tiles,
                 rng, indices, capture, extra_args=(table,))
         else:
-            even_step, odd_step = make_parity_step(0), make_parity_step(1)
+            if dc:
+                steps_pv = {(p, v): make_parity_step(p, v)
+                            for p in (0, 1) for v in ('full', 'cached')}
 
-            def step(state, i):
-                state = jax.lax.cond(
-                    i % 2 == 0,
-                    lambda s: even_step(params, s, cond_tiles[0],
-                                        label_tiles[0], rng, i, table),
-                    lambda s: odd_step(params, s, cond_tiles[1],
-                                       label_tiles[1], rng, i, table),
-                    state)
-                return state, (state if capture else None)
+                def parity_branch(p):
+                    def run(state, i):
+                        refresh = ((i - gss) // 2) % dc == 0
+                        return jax.lax.cond(
+                            refresh,
+                            lambda s: steps_pv[(p, 'full')](
+                                params, s, cond_tiles[p], label_tiles[p],
+                                rng, i, table),
+                            lambda s: steps_pv[(p, 'cached')](
+                                params, s, cond_tiles[p], label_tiles[p],
+                                rng, i, table),
+                            state)
+                    return run
+
+                even_step, odd_step = parity_branch(0), parity_branch(1)
+
+                def step(state, i):
+                    state = jax.lax.cond(i % 2 == 0,
+                                         lambda s: even_step(s, i),
+                                         lambda s: odd_step(s, i), state)
+                    return state, None
+            else:
+                even_fn, odd_fn = make_parity_step(0), make_parity_step(1)
+
+                def step(state, i):
+                    state = jax.lax.cond(
+                        i % 2 == 0,
+                        lambda s: even_fn(params, s, cond_tiles[0],
+                                          label_tiles[0], rng, i, table),
+                        lambda s: odd_fn(params, s, cond_tiles[1],
+                                         label_tiles[1], rng, i, table),
+                        state)
+                    return state, (state if capture else None)
 
             state, frames = jax.lax.scan(step, state, jnp.arange(
                 generation_start_steps, n_steps))
 
-        img = state[0] if capture_x0 else state
+        img = state[0] if (capture_x0 or dc) else state
         left, top, right, bottom = geom.crop
         out = img[:, top:bottom, left:right, :]
         out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))

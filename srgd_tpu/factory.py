@@ -35,11 +35,24 @@ def build_wrapper(conf: Config, net: SRUnet):
     """Dispatch conf.model to a diffusion family wrapper (model.py:3534-3654)."""
     is_conditional = 'conditional' in conf.model
 
+    n_stages = len(conf.ddpm_unet_dim_mults.split(','))
+    if conf.deep_cache_interval > 1:
+        if conf.model not in CONTINUOUS_MODELS:
+            raise NotImplementedError(
+                f'deep_cache_interval is only implemented for the continuous '
+                f'family, not {conf.model!r} (reject-rather-than-ignore)')
+        if not 1 <= conf.deep_cache_depth < n_stages:
+            raise ValueError(
+                f'deep_cache_depth must be in [1, {n_stages - 1}] for '
+                f'{n_stages} U-Net stages, got {conf.deep_cache_depth}')
+
     if conf.model in CONTINUOUS_MODELS:
         assert conf.learned_sinusoidal_cond, \
             'continuous family requires learned_sinusoidal_cond (model.py:3617,3635)'
         conf.use_dpmpp_solver = False  # parity: model.py:3618, 3636
         return ContinuousDiffusion(
+            deep_cache_interval=conf.deep_cache_interval,
+            deep_cache_depth=conf.deep_cache_depth,
             net=net,
             image_size=conf.image_size,
             noise_schedule=conf.noise_schedule,

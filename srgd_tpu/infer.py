@@ -88,6 +88,16 @@ def parse_args(argv=None):
                         'to the same model/checkpoint/sampling setup loads '
                         'it and skips the calibrate phase (~3.5 min on the '
                         'flagship), any mismatch recalibrates and rewrites')
+    p.add_argument('--deep_cache', type=int, default=0,
+                   help='>1: DeepCache-style fast sampling — recompute the '
+                        'U-Net deep half only every Nth step (per grid '
+                        'parity when tiled), reusing the cached deep '
+                        'feature in between. Training-free approximation; '
+                        'quality ladder in docs/PERF.md. 0/1 = exact')
+    p.add_argument('--deep_cache_depth', type=int, default=2,
+                   help='U-Net stage where the cached deep half starts '
+                        '(1..n_stages-1); smaller skips more compute but '
+                        'stores a bigger per-tile cache')
     p.add_argument('--matmul_precision', type=str, default='default',
                    choices=['default', 'high', 'highest'])
     p.add_argument('--tile_size', type=int, default=256)
@@ -285,6 +295,9 @@ def build_model_and_opts(args):
     # automatic XLA fallback when the tile batch doesn't divide it
     if getattr(args, 'continuous_sampler', None):
         conf.continuous_sampler = args.continuous_sampler
+    if getattr(args, 'deep_cache', 0):
+        conf.deep_cache_interval = args.deep_cache
+        conf.deep_cache_depth = getattr(args, 'deep_cache_depth', 2)
 
     import jax
     if getattr(args, 'matmul_precision', 'default') != 'default':

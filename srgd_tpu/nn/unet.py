@@ -103,15 +103,38 @@ class SRUnet(nn.Module):
                    quant=self._quant(dim), fused=self.fused_linattn, name=name)
 
     @nn.compact
-    def __call__(self, x, time, cond=None, class_label=None, class_mask=None):
+    def __call__(self, x, time, cond=None, class_label=None, class_mask=None,
+                 deep_cache=None, cache_depth: int = 0,
+                 return_cache: bool = False):
         """x: (B,H,W,C) noisy image in [-1,1]; time: (B,) float conditioning
         scalar (t index / log-SNR / c_noise depending on family); cond:
         (B,H,W,C) LR condition or None (-> zeros = CFG null); class_label:
         (B,) int or None; class_mask: (B,) float gating the class-embedding
-        add per sample (None -> all ones)."""
+        add per sample (None -> all ones).
+
+        Deep-feature caching (DeepCache / "Faster Diffusion"-style
+        training-free sampling acceleration; arXiv 2312.09608 — no
+        reference counterpart): with ``cache_depth = d`` (1 <= d <
+        len(dim_mults)), the net splits at U-Net stage d. A FULL forward
+        (``return_cache=True``) additionally returns the decoder feature
+        entering the shallow half — shape (B, H/2^(d-1), W/2^(d-1),
+        dims[d]) — and a CACHED forward (``deep_cache=<that tensor>``)
+        skips encoder stages >= d, the mid block, and decoder stages >= d
+        entirely, substituting the cached feature. With a cache produced
+        from the *same* (x, time) the two paths are bitwise identical; the
+        sampler-level approximation is reusing it across nearby timesteps
+        (the deep, low-resolution features evolve slowly along the
+        trajectory). Both flags are trace-time static (two compiled
+        programs); params are identical (the cached program just reads a
+        subset)."""
         assert x.shape[1] % self.downsample_factor == 0 and \
             x.shape[2] % self.downsample_factor == 0, \
             f'input spatial dims {x.shape[1:3]} must be divisible by {self.downsample_factor}'
+        if deep_cache is not None or return_cache:
+            assert 1 <= cache_depth < len(self.dim_mults), \
+                f'cache_depth must be in [1, {len(self.dim_mults) - 1}], got {cache_depth}'
+        assert not (deep_cache is not None and return_cache), \
+            'a cached forward cannot also produce a fresh cache'
 
         dim = self.dim
         init_dim = self.init_dim or dim
@@ -147,14 +170,20 @@ class SRUnet(nn.Module):
             use_pallas=self.use_pallas, quant=self._quant(min(d_in, d_out)),
             name=name)
 
+        skip_deep = deep_cache is not None   # shallow-only (cached) forward
+
         hs = []
         for i, (d_in, d_out) in enumerate(in_out):
+            if skip_deep and i >= cache_depth:
+                break
             is_last = i >= num_stages - 1
             x = block(d_in, d_in, f'downs_{i}_0')(x, t)
             hs.append(x)
             x = block(d_in, d_in, f'downs_{i}_1')(x, t)
             x = self._attn(d_in, self.full_attn[i], f'downs_{i}_2')(x) + x
             hs.append(x)
+            if skip_deep and i == cache_depth - 1:
+                break    # this stage's downsample only feeds the skipped deep half
             if not is_last:
                 x = Downsample(d_out, dtype=self.dtype, quant=self._quant(d_in),
                                name=f'downs_{i}_3')(x)
@@ -162,14 +191,21 @@ class SRUnet(nn.Module):
                 x = _conv(d_out, (3, 3), padding=1, dtype=self.dtype,
                           quant=self._quant(d_in), name=f'downs_{i}_3')(x)
 
-        mid_dim = dims[-1]
-        x = block(mid_dim, mid_dim, 'mid_block1')(x, t)
-        x = self._attn(mid_dim, True, 'mid_attn')(x) + x
-        x = block(mid_dim, mid_dim, 'mid_block2')(x, t)
+        if not skip_deep:
+            mid_dim = dims[-1]
+            x = block(mid_dim, mid_dim, 'mid_block1')(x, t)
+            x = self._attn(mid_dim, True, 'mid_attn')(x) + x
+            x = block(mid_dim, mid_dim, 'mid_block2')(x, t)
 
-        up_klass = PixelShuffleUpsample if self.pixel_shuffle_upsample else NearestUpsample
+        if skip_deep:
+            x = deep_cache   # the deep half's output, reused from a full step
+
+        cache_out = None
         rev = list(zip(reversed(in_out), reversed(list(self.full_attn))))
         for i, ((d_in, d_out), is_full) in enumerate(rev):
+            stage = num_stages - 1 - i
+            if skip_deep and stage >= cache_depth:
+                continue
             is_last = i == num_stages - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
             x = block(d_out + d_in, d_out, f'ups_{i}_0')(x, t)
@@ -188,6 +224,8 @@ class SRUnet(nn.Module):
             else:
                 x = _conv(d_in, (3, 3), padding=1, dtype=self.dtype,
                           quant=self._quant(d_out), name=f'ups_{i}_3')(x)
+            if return_cache and stage == cache_depth:
+                cache_out = x   # decoder feature entering the shallow half
 
         x = jnp.concatenate([x, r], axis=-1)
         x = self._block_cls(ResnetBlock)(
@@ -197,6 +235,8 @@ class SRUnet(nn.Module):
 
         out_dim = self.out_dim or self.channels * (2 if self.learned_variance else 1)
         x = nn.Conv(out_dim, (1, 1), dtype=self.dtype, name='final_conv')(x)
+        if return_cache:
+            return x.astype(jnp.float32), cache_out
         return x.astype(jnp.float32)
 
 

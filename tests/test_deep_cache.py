@@ -1,0 +1,201 @@
+"""Deep-feature cache sampling tests (DeepCache-style, nn/unet.py +
+diffusion/continuous.py).
+
+Training-free sampling acceleration with no reference counterpart (the
+reference always runs the full net every step, /root/reference/model.py:
+3147-3154): the U-Net's deep half recomputes only every Nth step, reusing
+the cached deep decoder feature in between. These tests pin the contracts
+that make the approximation trustworthy:
+
+- fresh-cache identity: a cached forward fed a cache from the same (x, t)
+  is BITWISE the full forward (the split introduces zero numerics drift);
+- interval=1 degenerates to the exact sampler, bitwise, on every path
+  (scan, host-loop, tiled, guided);
+- scan and host-loop tiled sampling agree bitwise at interval>1;
+- the cached trajectory stays in a sane PSNR band of the exact one;
+- reject-rather-than-ignore for unsupported combinations.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srgd_tpu.config import Config
+from srgd_tpu.factory import build_wrapper
+from srgd_tpu.nn.unet import build_unet_from_config
+from tests.test_quant import _init_net, _tiny_conf
+
+
+def _conf3(**kw):
+    """3-stage tiny net so both cache depths (1, 2) are exercisable."""
+    base = dict(model='conditional_continuous', unet_dim=8,
+                ddpm_unet_dim_mults='1,2,4', full_attn='False,False,True',
+                learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+                num_classes=3, image_size=16, quantize='none',
+                num_sample_steps=6)
+    base.update(kw)
+    return Config(**base)
+
+
+def _psnr(a, b):
+    mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+    return -10 * np.log10(max(mse, 1e-20))
+
+
+# ---------------------------------------------------------------------------
+# Net-level split contract
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('depth', [1, 2])
+def test_fresh_cache_identity(depth):
+    conf = _conf3()
+    net, params = _init_net(conf)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3), jnp.float32)
+    t = jnp.full((2,), 0.3)
+    lb = jnp.zeros((2,), jnp.int32)
+    full = net.apply(params, x, t, cond=x, class_label=lb)
+    out, cache = net.apply(params, x, t, cond=x, class_label=lb,
+                           cache_depth=depth, return_cache=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
+    cached = net.apply(params, x, t, cond=x, class_label=lb,
+                       deep_cache=cache, cache_depth=depth)
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+    # documented cache geometry: (B, H/2^(d-1), W/2^(d-1), dims[d])
+    dim_mults = (1, 2, 4)
+    assert cache.shape == (2, 16 >> (depth - 1), 16 >> (depth - 1),
+                           8 * dim_mults[depth - 1])
+
+
+def test_fresh_cache_identity_quantized():
+    """The split must compose with int8 convs (the serving default)."""
+    conf = _conf3(quantize='w8a8')
+    net, params = _init_net(conf)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 16, 16, 3), jnp.float32)
+    t = jnp.full((1,), -0.5)
+    lb = jnp.zeros((1,), jnp.int32)
+    full = net.apply(params, x, t, cond=x, class_label=lb)
+    _, cache = net.apply(params, x, t, cond=x, class_label=lb,
+                         cache_depth=2, return_cache=True)
+    cached = net.apply(params, x, t, cond=x, class_label=lb,
+                       deep_cache=cache, cache_depth=2)
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+
+
+def test_cache_depth_bounds_asserted():
+    conf = _conf3()
+    net, params = _init_net(conf)
+    x = jnp.zeros((1, 16, 16, 3))
+    with pytest.raises(AssertionError, match='cache_depth'):
+        net.apply(params, x, jnp.zeros((1,)), cond=x,
+                  class_label=jnp.zeros((1,), jnp.int32),
+                  cache_depth=3, return_cache=True)
+
+
+# ---------------------------------------------------------------------------
+# Sampler-level: interval 1 == exact, host == scan, quality band
+# ---------------------------------------------------------------------------
+
+def _wrapped(conf):
+    net, params = _init_net(conf)
+    return build_wrapper(conf, net), params
+
+
+def _sample_kw(**kw):
+    base = dict(num_sample_steps=6)
+    base.update(kw)
+    return base
+
+
+def test_interval_one_is_exact_nontiled():
+    conf = _conf3()
+    w_off, params = _wrapped(conf)
+    w_on = build_wrapper(_conf3(deep_cache_interval=1), w_off.net)
+    rng = jax.random.PRNGKey(3)
+    cond = jax.random.uniform(jax.random.PRNGKey(4), (1, 16, 16, 3))
+    lb = jnp.zeros((1,), jnp.int32)
+    a = w_off.sample(params, rng, cond, lb, **_sample_kw())
+    b = w_on.sample(params, rng, cond, lb, **_sample_kw())
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize('host_loop', [False, True])
+def test_tiled_cached_matches_band_and_interval1_exact(host_loop):
+    """interval=1 tiled == exact tiled bitwise; interval=3 stays in a sane
+    PSNR band of the exact canvas (random weights drift fast — this pins
+    'runs and stays close', the honest quality claim lives on the ladder)."""
+    conf = _conf3()
+    w_off, params = _wrapped(conf)
+    w_1 = build_wrapper(_conf3(deep_cache_interval=1), w_off.net)
+    w_3 = build_wrapper(_conf3(deep_cache_interval=3, deep_cache_depth=2),
+                        w_off.net)
+    rng = jax.random.PRNGKey(5)
+    cond = jax.random.uniform(jax.random.PRNGKey(6), (1, 24, 24, 3))
+    lb = jnp.zeros((1,), jnp.int32)
+    kw = dict(tile_size=16, batch_size=2, host_loop=host_loop,
+              num_sample_steps=6)
+    exact = w_off.tiled_sample(params, rng, cond, lb, **kw)
+    one = w_1.tiled_sample(params, rng, cond, lb, **kw)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(one))
+    approx = w_3.tiled_sample(params, rng, cond, lb, **kw)
+    assert np.isfinite(np.asarray(approx)).all()
+    assert _psnr(exact, approx) > 15.0   # same trajectory family, not junk
+
+
+def test_tiled_host_loop_matches_scan_at_interval3():
+    conf = _conf3(deep_cache_interval=3, deep_cache_depth=1)
+    w, params = _wrapped(conf)
+    rng = jax.random.PRNGKey(7)
+    cond = jax.random.uniform(jax.random.PRNGKey(8), (1, 24, 24, 3))
+    lb = jnp.zeros((1,), jnp.int32)
+    kw = dict(tile_size=16, batch_size=2, num_sample_steps=6)
+    a = w.tiled_sample(params, rng, cond, lb, host_loop=False, **kw)
+    b = w.tiled_sample(params, rng, cond, lb, host_loop=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_guided_cached_sampling_runs():
+    """CFG doubles the net batch; the sample-major cache fold/unfold must
+    round-trip (base.guided_denoise)."""
+    conf = _conf3(deep_cache_interval=2, deep_cache_depth=2)
+    w, params = _wrapped(conf)
+    w_exact = build_wrapper(_conf3(), w.net)
+    rng = jax.random.PRNGKey(9)
+    cond = jax.random.uniform(jax.random.PRNGKey(10), (1, 16, 16, 3))
+    lb = jnp.zeros((1,), jnp.int32)
+    kw = dict(num_sample_steps=6, cond_scale=2.0)
+    out = w.sample(params, rng, cond, lb, **kw)
+    exact = w_exact.sample(params, rng, cond, lb, **kw)
+    assert np.isfinite(np.asarray(out)).all()
+    assert _psnr(exact, out) > 15.0
+
+
+# ---------------------------------------------------------------------------
+# Reject-rather-than-ignore
+# ---------------------------------------------------------------------------
+
+def test_capture_with_deep_cache_rejected():
+    conf = _conf3(deep_cache_interval=2)
+    w, params = _wrapped(conf)
+    cond = jax.random.uniform(jax.random.PRNGKey(11), (1, 24, 24, 3))
+    with pytest.raises(NotImplementedError, match='deep_cache'):
+        w.tiled_sample(params, jax.random.PRNGKey(0), cond,
+                       jnp.zeros((1,), jnp.int32), tile_size=16,
+                       batch_size=2, capture_x0=True, num_sample_steps=4)
+
+
+def test_unsupported_family_rejected():
+    conf = _tiny_conf(quantize='none')
+    conf.model = 'conditional'       # discrete gaussian family
+    conf.learned_sinusoidal_cond = False
+    conf.deep_cache_interval = 2
+    net = build_unet_from_config(conf)
+    with pytest.raises(NotImplementedError, match='continuous'):
+        build_wrapper(conf, net)
+
+
+def test_bad_depth_rejected():
+    conf = _conf3(deep_cache_interval=2, deep_cache_depth=3)
+    with pytest.raises(ValueError, match='deep_cache_depth'):
+        build_wrapper(conf, build_unet_from_config(conf))

@@ -57,8 +57,16 @@ def main():
     ckpt = os.environ.get('QP_CKPT', '')
     outs = {}
     for mode in modes:
+        # '<mode>+dcN' / '+dcN.D': DeepCache fast sampling at interval N,
+        # split stage D (default 2) — e.g. 'bfloat16+dc3', 'w8a8+dc2.3'
+        mode_q, _, dc_spec = mode.partition('+dc')
+        conf.deep_cache_interval = 0
+        if dc_spec:
+            n, _, d = dc_spec.partition('.')
+            conf.deep_cache_interval = int(n)
+            conf.deep_cache_depth = int(d) if d else 2
         # 'w8a8@0.5' / 'w8a8dyn@0.5': SmoothQuant smoothing with that alpha
-        base, _, suffix = mode.partition('@')
+        base, _, suffix = mode_q.partition('@')
         is_q = base.startswith('w8a8')
         conf.compute_dtype = 'bfloat16' if is_q else base
         conf.quantize = 'w8a8' if is_q else 'none'
