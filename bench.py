@@ -33,6 +33,10 @@ BENCH_BATCH (8), BENCH_DTYPE (bfloat16), BENCH_TRACE_DIR (jax.profiler
 trace of the measured run, off by default), BENCH_QUANT ('w8a8cal';
 'none' = pure bf16, 'w8a8' = dynamic per-call activation scales,
 'w8a8calt' = per-timestep calibrated scales),
+BENCH_DEEPCACHE ('0'; 'N' or 'N:D' = DeepCache fast sampling — recompute
+the U-Net deep half every Nth step per grid parity, split at stage D
+[default 2]; approximate sampling, tagged '+dcN.D' in the metric name and
+never the headline default),
 BENCH_QUANT_MIN_CH (512; 0 quantizes every stage), BENCH_QUANT_SMOOTH
 (0.0; >0 = SmoothQuant alpha, nn/quant.py), BENCH_MESH ('auto':
 when >1 device is visible, run tile-data-parallel over an all-data mesh —
@@ -234,6 +238,9 @@ def main():
                 'w8a8calt': 'bf16+int8calt'}.get(quant, quant) + depth
         if quant_smooth:
             mode += f'-sm{quant_smooth:g}'
+    if conf.deep_cache_interval > 1:
+        # approximate sampling mode — never the headline default
+        mode += f'+dc{conf.deep_cache_interval}.{conf.deep_cache_depth}'
     if use_mesh:
         mode += f' mesh{n_dev}x1'
     print(json.dumps({

@@ -71,6 +71,25 @@ run_item q30_bench_pertime256 2400 env BENCH_QUANT=w8a8calt \
     BENCH_QUANT_MIN_CH=256 BENCH_CAL_CACHE="$CHIPQ_DIR/cal_calt256.npz" \
     python bench.py
 
+# q32-q36: DeepCache throughput — how much does skipping the deep half
+# every Nth step buy end-to-end? (interval N, split stage D; bf16+int8-512
+# default precision, calibration shared via the cal cache)
+run_item q32_bench_dc2 2400 env BENCH_DEEPCACHE=2:2 \
+    BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
+run_item q34_bench_dc3 2400 env BENCH_DEEPCACHE=3:2 \
+    BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
+run_item q36_bench_dc5 2400 env BENCH_DEEPCACHE=5:2 \
+    BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
+run_item q38_bench_dc3d3 2400 env BENCH_DEEPCACHE=3:3 \
+    BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
+
+# q39: DeepCache quality ladder at flagship shapes (all vs fp32 exact;
+# bf16 exact is the reference point for the dc-only delta)
+run_item q39_ladder_deepcache 4800 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+    QP_MODES='float32,bfloat16,bfloat16+dc2.2,bfloat16+dc3.2,bfloat16+dc5.2,bfloat16+dc3.3' \
+    QP_SAVE_DIR="$CHIPQ_DIR/q39_canvases" \
+    python tools/quality_probe.py
+
 # q40: per-time at the shipping >=512ch coverage (quality headroom check)
 run_item q40_ladder512_pertime 2400 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_QMIN=512 QP_MODES='float32,w8a8,w8a8t' \
