@@ -199,3 +199,16 @@ def test_bad_depth_rejected():
     conf = _conf3(deep_cache_interval=2, deep_cache_depth=3)
     with pytest.raises(ValueError, match='deep_cache_depth'):
         build_wrapper(conf, build_unet_from_config(conf))
+
+
+def test_cli_flag_plumbs_to_wrapper(tmp_path):
+    from srgd_tpu.infer import build_model_and_opts, parse_args
+    from tests.test_cli import TINY_YAML
+    conf_path = tmp_path / 'tiny.yaml'
+    conf_path.write_text(TINY_YAML)
+    args = parse_args(['-c', str(conf_path), '-m', '', '--input_dir', 'x',
+                       '--output_dir', 'y', '--tile_size', '16',
+                       '--deep_cache', '2', '--deep_cache_depth', '1'])
+    wrapper, _, _, _, _ = build_model_and_opts(args)
+    assert wrapper.deep_cache_interval == 2
+    assert wrapper.deep_cache_depth == 1

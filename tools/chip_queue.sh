@@ -90,6 +90,18 @@ run_item q39_ladder_deepcache 4800 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_SAVE_DIR="$CHIPQ_DIR/q39_canvases" \
     python tools/quality_probe.py
 
+# q42: DeepCache ladder on TRAINED weights (random weights don't contract
+# approximation error — this is the quality claim that matters)
+if [ -d /tmp/evidence_run/evidence_dim64_synth_best_loss ]; then
+    run_item q42_ladder_dc_trained 4800 env QP_DIM=64 QP_LR=128 QP_STEPS=50 \
+        QP_CKPT=/tmp/evidence_run/evidence_dim64_synth_best_loss \
+        QP_MODES='float32,bfloat16,bfloat16+dc2.2,bfloat16+dc3.2,bfloat16+dc5.2' \
+        QP_SAVE_DIR="$CHIPQ_DIR/q42_canvases" \
+        python tools/quality_probe.py
+else
+    echo "[chipq] q42: trained checkpoint missing — skipping"
+fi
+
 # q40: per-time at the shipping >=512ch coverage (quality headroom check)
 run_item q40_ladder512_pertime 2400 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_QMIN=512 QP_MODES='float32,w8a8,w8a8t' \
