@@ -155,6 +155,36 @@ def test_tiled_host_loop_matches_scan_at_interval3():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_generation_start_steps_first_visit_is_full():
+    """With generation_start_steps > 0 the refresh schedule is relative to
+    the first executed step — interval-1 equivalence must hold there too
+    (a stale zeros-cache read on the first visit would corrupt step one)."""
+    conf = _conf3()
+    w_off, params = _wrapped(conf)
+    w_2 = build_wrapper(_conf3(deep_cache_interval=2, deep_cache_depth=1),
+                        w_off.net)
+    rng = jax.random.PRNGKey(12)
+    cond = jax.random.uniform(jax.random.PRNGKey(13), (1, 16, 16, 3))
+    lb = jnp.zeros((1,), jnp.int32)
+    kw = dict(num_sample_steps=6, generation_start_steps=3)
+    exact = w_off.sample(params, rng, cond, lb, **kw)
+    # interval 2 from start step 3: steps 3 and 5 full, step 4 cached —
+    # finite and in-band is the contract (the zeros cache is never read)
+    out = w_2.sample(params, rng, cond, lb, **kw)
+    assert np.isfinite(np.asarray(out)).all()
+    assert _psnr(exact, out) > 15.0
+    # tiled host-loop path with gss: same schedule logic, both parities
+    cond24 = jax.random.uniform(jax.random.PRNGKey(14), (1, 24, 24, 3))
+    t_exact = w_off.tiled_sample(params, rng, cond24, lb, tile_size=16,
+                                 batch_size=2, host_loop=True,
+                                 num_sample_steps=6, generation_start_steps=3)
+    t_out = w_2.tiled_sample(params, rng, cond24, lb, tile_size=16,
+                             batch_size=2, host_loop=True,
+                             num_sample_steps=6, generation_start_steps=3)
+    assert np.isfinite(np.asarray(t_out)).all()
+    assert _psnr(t_exact, t_out) > 15.0
+
+
 def test_guided_cached_sampling_runs():
     """CFG doubles the net batch; the sample-major cache fold/unfold must
     round-trip (base.guided_denoise)."""

@@ -24,10 +24,14 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from srgd_tpu.utils.platform import sync_platform_env
+
+sync_platform_env()   # honor JAX_PLATFORMS=cpu for CPU direction checks
+
 import jax
 import jax.numpy as jnp
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
