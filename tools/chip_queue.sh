@@ -90,16 +90,24 @@ run_item q39_ladder_deepcache 4800 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_SAVE_DIR="$CHIPQ_DIR/q39_canvases" \
     python tools/quality_probe.py
 
+# Trained evidence checkpoint: the durable retrain location first
+# (tools/evidence_retrain.sh — /tmp gets wiped on reboot), legacy /tmp after.
+EV_CKPT_DIR=""
+for d in "${EV_ROOT:-/root/repo/.evidence}/run/evidence_dim64_synth_best_loss" \
+         /tmp/evidence_run/evidence_dim64_synth_best_loss; do
+    [ -d "$d" ] && EV_CKPT_DIR="$d" && break
+done
+
 # q42: DeepCache ladder on TRAINED weights (random weights don't contract
 # approximation error — this is the quality claim that matters)
-if [ -d /tmp/evidence_run/evidence_dim64_synth_best_loss ]; then
+if [ -n "$EV_CKPT_DIR" ]; then
     run_item q42_ladder_dc_trained 4800 env QP_DIM=64 QP_LR=128 QP_STEPS=50 \
-        QP_CKPT=/tmp/evidence_run/evidence_dim64_synth_best_loss \
+        QP_CKPT="$EV_CKPT_DIR" \
         QP_MODES='float32,bfloat16,bfloat16+dc2.2,bfloat16+dc3.2,bfloat16+dc5.2' \
         QP_SAVE_DIR="$CHIPQ_DIR/q42_canvases" \
         python tools/quality_probe.py
 else
-    echo "[chipq] q42: trained checkpoint missing — skipping"
+    echo "[chipq] q42: trained checkpoint missing (run tools/evidence_retrain.sh) — skipping"
 fi
 
 # q40: per-time at the shipping >=512ch coverage (quality headroom check)
@@ -107,13 +115,13 @@ run_item q40_ladder512_pertime 2400 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_QMIN=512 QP_MODES='float32,w8a8,w8a8t' \
     python tools/quality_probe.py
 
-# q50: trained-evidence eval refresh at the 28k best_loss checkpoint
-if [ -d /tmp/evidence_run/evidence_dim64_synth_best_loss ]; then
+# q50: trained-evidence eval refresh at the surviving best_loss checkpoint
+if [ -n "$EV_CKPT_DIR" ]; then
     run_item q50_evidence_eval 10800 env \
-        EV_CKPT=/tmp/evidence_run/evidence_dim64_synth_best_loss \
+        EV_CKPT="$EV_CKPT_DIR" \
         python tools/evidence_eval.py
 else
-    echo "[chipq] q50: checkpoint missing (/tmp cleared) — skipping"
+    echo "[chipq] q50: checkpoint missing (run tools/evidence_retrain.sh) — skipping"
 fi
 
 # q60: headline bench reconfirmation on the current default
