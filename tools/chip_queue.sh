@@ -9,23 +9,23 @@
 #
 # Usage:  bash tools/chip_queue.sh            # run everything outstanding
 #         CHIPQ_ONLY=q30 bash tools/chip_queue.sh   # run one item
+#         CHIPQ_FORCE=1 ... # re-measure items already recorded in docs
 #
-# Outstanding questions each item answers (round: per-time calibration):
-#   q10  flagship >=256ch per-time ladder, seed 0/1 — is per-time cal
-#        dynamic-class quality at flagship shapes? (CPU dim-16 check says
-#        it recovers ~4.1 of cal's 4.7 dB deficit; docs/PERF.md §3)
-#   q20  same ladder on the KNOWN BAD 42/43 draw (dynamic hit 43.81 dB
-#        there) — the actual gate for making >=256ch cal the default.
-#   q30  throughput of per-time cal at >=256ch (expect ~0.0402 like
-#        global cal — the select is an argmin+slice over tiny tensors).
-#   q40  per-time at the current default coverage (>=512ch): does it buy
-#        quality headroom over global cal's 51.3-52.7 dB?
-#   q50  evidence_eval refresh on the surviving 28k best_loss checkpoint
-#        (round-6 OOM destroyed the main dir before its eval re-run).
-#   q60  headline bench reconfirmation (default deep-512 calibrated).
+# Measured-and-recorded items (q10-q40 per-time calibration ladders,
+# q32-q39 DeepCache, q60 bench reconfirm — all in docs/PERF.md) are
+# skipped by default: their numbers survive in the docs even though the
+# old /tmp markers died with a host reboot. Set CHIPQ_FORCE=1 to
+# re-measure them. Still OUTSTANDING (gated on the trained-evidence
+# checkpoint, tools/evidence_retrain.sh):
+#   q42  DeepCache quality ladder on TRAINED weights — random weights
+#        don't contract approximation error, so this is the number that
+#        decides whether DeepCache can be a default (docs/PERF.md §6).
+#   q50  evidence_eval refresh on the retrained best_loss checkpoint
+#        (the round-5 original was reboot-wiped).
 set -u
 cd "$(dirname "$0")/.."
-CHIPQ_DIR=${CHIPQ_DIR:-/tmp/chipq}
+# .chipq (gitignored, under the repo) survives reboots; /tmp does not.
+CHIPQ_DIR=${CHIPQ_DIR:-.chipq}
 mkdir -p "$CHIPQ_DIR"
 
 echo "[chipq] preflight: checking the TPU relay (<=120s)..."
@@ -33,6 +33,18 @@ if ! timeout 120 python -c "import jax; assert jax.devices()[0].platform != 'cpu
     echo "[chipq] relay is DEAD (jax.devices() hung or returned CPU) — aborting."
     exit 1
 fi
+
+# Same contract as run_item, for items whose numbers already live in
+# docs/PERF.md: skipped unless explicitly re-requested (CHIPQ_FORCE=1 or
+# CHIPQ_ONLY=<name>), so a marker-wiping reboot doesn't burn chip time
+# re-answering settled questions.
+recorded_item() {
+    if [ -z "${CHIPQ_FORCE:-}" ] && [ "${CHIPQ_ONLY:-}" != "$1" ]; then
+        echo "[chipq] $1: recorded in docs/PERF.md, skipping (CHIPQ_FORCE=1 re-measures)"
+        return 0
+    fi
+    run_item "$@"
+}
 
 run_item() {
     local name="$1" tmo="$2"; shift 2
@@ -55,37 +67,37 @@ run_item() {
 }
 
 # q10: flagship >=256ch per-time quality ladder, default 0/1 draw
-run_item q10_ladder256 3600 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+recorded_item q10_ladder256 3600 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_QMIN=256 QP_MODES='float32,w8a8dyn,w8a8,w8a8t' \
     python tools/quality_probe.py
 
 # q20: the bad draw (dynamic measured 43.81 dB at >=256ch here)
-run_item q20_ladder256_badseed 3600 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+recorded_item q20_ladder256_badseed 3600 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_QMIN=256 QP_WSEED=42 QP_CSEED=43 \
     QP_MODES='float32,w8a8dyn,w8a8,w8a8t' \
     python tools/quality_probe.py
 
 # q30: per-time throughput at >=256ch coverage (calibration cached so a
 # queue re-run after a relay death skips the ~3.5 min calibrate phase)
-run_item q30_bench_pertime256 2400 env BENCH_QUANT=w8a8calt \
+recorded_item q30_bench_pertime256 2400 env BENCH_QUANT=w8a8calt \
     BENCH_QUANT_MIN_CH=256 BENCH_CAL_CACHE="$CHIPQ_DIR/cal_calt256.npz" \
     python bench.py
 
 # q32-q36: DeepCache throughput — how much does skipping the deep half
 # every Nth step buy end-to-end? (interval N, split stage D; bf16+int8-512
 # default precision, calibration shared via the cal cache)
-run_item q32_bench_dc2 2400 env BENCH_DEEPCACHE=2:2 \
+recorded_item q32_bench_dc2 2400 env BENCH_DEEPCACHE=2:2 \
     BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
-run_item q34_bench_dc3 2400 env BENCH_DEEPCACHE=3:2 \
+recorded_item q34_bench_dc3 2400 env BENCH_DEEPCACHE=3:2 \
     BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
-run_item q36_bench_dc5 2400 env BENCH_DEEPCACHE=5:2 \
+recorded_item q36_bench_dc5 2400 env BENCH_DEEPCACHE=5:2 \
     BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
-run_item q38_bench_dc3d3 2400 env BENCH_DEEPCACHE=3:3 \
+recorded_item q38_bench_dc3d3 2400 env BENCH_DEEPCACHE=3:3 \
     BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
 
 # q39: DeepCache quality ladder at flagship shapes (all vs fp32 exact;
 # bf16 exact is the reference point for the dc-only delta)
-run_item q39_ladder_deepcache 4800 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+recorded_item q39_ladder_deepcache 4800 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_MODES='float32,bfloat16,bfloat16+dc2.2,bfloat16+dc3.2,bfloat16+dc5.2,bfloat16+dc3.3' \
     QP_SAVE_DIR="$CHIPQ_DIR/q39_canvases" \
     python tools/quality_probe.py
@@ -111,7 +123,7 @@ else
 fi
 
 # q40: per-time at the shipping >=512ch coverage (quality headroom check)
-run_item q40_ladder512_pertime 2400 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+recorded_item q40_ladder512_pertime 2400 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_QMIN=512 QP_MODES='float32,w8a8,w8a8t' \
     python tools/quality_probe.py
 
@@ -125,7 +137,7 @@ else
 fi
 
 # q60: headline bench reconfirmation on the current default
-run_item q60_bench_default 2400 env \
+recorded_item q60_bench_default 2400 env \
     BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
 
 echo "[chipq] queue complete; logs in $CHIPQ_DIR"
