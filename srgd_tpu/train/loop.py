@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import logging
 import os
+import signal
 import time
 
 import numpy as np
@@ -22,6 +23,46 @@ import numpy as np
 from srgd_tpu.utils.profiling import PhaseTimer
 
 logger = logging.getLogger('srgd_tpu.train')
+
+
+class _GracefulStop:
+    """Stop the training loop cleanly on SIGTERM/SIGINT.
+
+    Chip time on this box comes in bounded stints (`timeout N python -m
+    srgd_tpu.train.loop ...` sends SIGTERM); without a handler every stint
+    forfeits the steps since the last periodic save. The first signal sets
+    ``triggered`` so the loop finishes its in-flight step and saves a final
+    checkpoint; a second signal falls through to the previous disposition
+    (hard kill). Previous handlers are restored on exit, and installation is
+    skipped off the main thread (tests drive _train_inner directly)."""
+
+    def __init__(self):
+        self._signals = []
+        self._prev = {}
+
+    def _request(self, signum, frame):
+        self._signals.append(signum)
+        signal.signal(signum, self._prev[signum])
+
+    @property
+    def triggered(self) -> bool:
+        return bool(self._signals)
+
+    def __enter__(self):
+        try:
+            for s in (signal.SIGTERM, signal.SIGINT):
+                self._prev[s] = signal.signal(s, self._request)
+        except ValueError:  # not the main thread; run unguarded
+            self._prev = {}
+        return self
+
+    def __exit__(self, *exc):
+        for s, h in self._prev.items():
+            # the handler swaps itself out on first delivery; only restore
+            # what is still ours
+            if signal.getsignal(s) == self._request:
+                signal.signal(s, h)
+        return False
 
 
 def _conf_scale(conf) -> int:
@@ -273,8 +314,8 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
     timer = PhaseTimer()
     t0 = time.time()
     it = iter(ds)
-    with mesh:
-        while int(state.step) < total_steps:
+    with _GracefulStop() as stop, mesh:
+        while not stop.triggered and int(state.step) < total_steps:
             with timer.phase('data'):
                 hr, cond, label = next(it)
                 hr = jax.device_put(jnp.asarray(hr), bs)
@@ -322,6 +363,13 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
                     best_score = score
                     save_state(os.path.join(
                         out_dir, f'{conf.prefix or "ckpt"}_{target}'), step)
+    step = int(state.step)
+    if stop.triggered and step % save_every != 0 and step < total_steps:
+        # signal arrived between periodic saves: persist the stint's tail
+        # so the next run resumes from here instead of the last save_every
+        save_state(ckpt_dir, step)
+        logger.info('stop requested (signal %s): saved checkpoint at step '
+                    '%d -> %s', stop._signals, step, ckpt_dir)
     logger.info('phase breakdown:\n%s', timer.report())
     return state
 

@@ -462,6 +462,68 @@ def test_resume_matches_uninterrupted(tmp_path, monkeypatch):
                                        atol=0, err_msg=name)
 
 
+def test_sigterm_saves_tail_checkpoint_and_resumes(tmp_path, monkeypatch):
+    """A SIGTERM mid-stint (the `timeout N train.loop` pattern) must save the
+    steps since the last periodic save and stop cleanly, so stop-at-4 /
+    resume-to-6 reproduces the uninterrupted 6-step run exactly even though
+    save_every (100) never fired."""
+    import signal
+
+    import srgd_tpu.train.data as data_mod
+    from srgd_tpu.config import Config
+    from srgd_tpu.train.loop import train
+
+    rng = np.random.default_rng(0)
+    hr = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    cond = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    label = np.zeros((2,), np.int64)
+
+    class ConstData:
+        signal_at = None   # batch index at which to deliver SIGTERM
+
+        def __init__(self, *a, **kw):
+            pass
+
+        def __iter__(self):
+            n = 0
+            while True:
+                n += 1
+                if n == self.signal_at:
+                    # delivered synchronously inside next(it): the loop must
+                    # finish the in-flight step, then stop and save
+                    signal.raise_signal(signal.SIGTERM)
+                yield hr, cond, label
+
+    monkeypatch.setattr(data_mod, 'DegradationDataset', ConstData)
+    prev_term = signal.getsignal(signal.SIGTERM)
+
+    conf = Config(model='conditional_continuous', unet_dim=8,
+                  ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                  hr_image_size=16, lr_image_size=4, batch_size=2, num_workers=1,
+                  epochs=1, warmup_epochs=0, ema_decay=0.9, seed=0,
+                  scheduler='constant')
+
+    sA = train(conf, 'unused', str(tmp_path / 'A'), total_steps=6,
+               log_every=10, save_every=100)
+    ConstData.signal_at = 4
+    sB1 = train(conf, 'unused', str(tmp_path / 'B'), total_steps=6,
+                log_every=10, save_every=100)
+    ConstData.signal_at = None
+    assert int(sB1.step) == 4            # stopped early, after the 4th step
+    assert signal.getsignal(signal.SIGTERM) == prev_term  # handler restored
+    sB = train(conf, 'unused', str(tmp_path / 'B'), total_steps=6,
+               log_every=10, save_every=100)
+
+    assert int(sA.step) == int(sB.step) == 6
+    for name, a, b in [('params', sA.params, sB.params),
+                       ('ema', sA.ema_params, sB.ema_params),
+                       ('opt', sA.opt_state, sB.opt_state)]:
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=0, err_msg=name)
+
+
 def test_metrics():
     from srgd_tpu.utils.metrics import psnr, ssim
     rng = np.random.default_rng(0)
