@@ -244,12 +244,19 @@ def _resize(img: np.ndarray, size, interpolation: str = 'BICUBIC') -> np.ndarray
 # ---------------------------------------------------------------------------
 
 def _conv2d(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
-    """Per-channel reflect-padded 2D convolution, uint8 -> uint8."""
-    from scipy.ndimage import convolve
-    out = np.empty_like(img, dtype=np.float32)
-    for ch in range(img.shape[2]):
-        out[:, :, ch] = convolve(img[:, :, ch].astype(np.float32), kernel,
-                                 mode='reflect')
+    """Per-channel reflect-padded 2D convolution, uint8 -> uint8.
+
+    FFT-based: the degradation kernels are 21x21, where direct convolution
+    (scipy.ndimage) costs ~84 ms per 256px batch item on this 1-core box vs
+    ~5 ms via FFT — the single largest CPU cost in the training data path.
+    np.pad 'symmetric' matches scipy.ndimage.convolve(mode='reflect')
+    (edge-pixel-repeating reflection), and all kernels here are
+    180-degree-symmetric so correlation == convolution."""
+    from scipy.signal import fftconvolve
+    pad = kernel.shape[0] // 2
+    f = np.pad(img.astype(np.float32), ((pad, pad), (pad, pad), (0, 0)),
+               mode='symmetric')
+    out = fftconvolve(f, kernel[:, :, None].astype(np.float32), mode='valid')
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
@@ -454,7 +461,7 @@ class DegradationDataset:
                  shuffle: bool = True, scale: int = 4, crop_rate: int = 1,
                  crop_size_limit: bool = False, n_fold: int = 1,
                  fold: str = '0', fold_role: Optional[str] = None,
-                 validation_ratio: float = 1.0):
+                 validation_ratio: float = 1.0, as_uint8: bool = False):
         self.files = list_images(root)
         if not self.files:
             raise FileNotFoundError(f'no images under {root}')
@@ -493,6 +500,10 @@ class DegradationDataset:
         self.preprocess = ('randomcrop' if self.cfg.trans_mode == 'realesrgan'
                            else preprocess)
         self.scale_size = scale_size
+        # as_uint8 keeps batches in uint8 [0,255] for the consumer to
+        # normalize on-device: host->TPU transfers through the remote relay
+        # run ~25-30 MB/s, so shipping f32 costs 4x the bytes for nothing.
+        self.as_uint8 = as_uint8
 
     def _sample(self, rng: np.random.Generator):
         from PIL import Image
@@ -524,8 +535,10 @@ class DegradationDataset:
             hrs.append(hr)
             conds.append(cond)
             labels.append(label)
-        hr = np.stack(hrs).astype(np.float32) / 255.0
-        cond = np.stack(conds).astype(np.float32) / 255.0
+        hr, cond = np.stack(hrs), np.stack(conds)
+        if not self.as_uint8:
+            hr = hr.astype(np.float32) / 255.0
+            cond = cond.astype(np.float32) / 255.0
         return hr, cond, np.asarray(labels, np.int32)
 
     def __iter__(self) -> Iterator:

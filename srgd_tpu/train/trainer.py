@@ -120,6 +120,10 @@ def make_train_step(wrapper, optimizer, ema_decay: float, conditional: bool):
         return wrapper.loss(params, rng, hr, lr_cond, label)
 
     def step(state: TrainState, rng, hr, lr_cond, label=None):
+        if hr.dtype == jnp.uint8:      # normalize on-device: the host ships
+            hr = hr.astype(jnp.float32) / 255.0      # uint8 to quarter the
+        if lr_cond.dtype == jnp.uint8:               # relay transfer bytes
+            lr_cond = lr_cond.astype(jnp.float32) / 255.0
         rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, rng, hr, lr_cond, label if conditional else None)

@@ -97,6 +97,40 @@ def test_dataset_batches(image_dir):
     assert label.shape == (4,) and set(label) <= {0, 1, 2}
 
 
+def test_dataset_uint8_batches(image_dir):
+    """as_uint8 ships [0,255] uint8 (4x fewer relay transfer bytes); the
+    train step normalizes on-device and must match the f32 pipeline."""
+    from srgd_tpu.train.data import DegradationDataset
+    ds8 = DegradationDataset(str(image_dir), crop_size=32, batch_size=2,
+                             num_workers=1, seed=0, as_uint8=True)
+    hr, cond, label = next(iter(ds8))
+    assert hr.dtype == np.uint8 and cond.dtype == np.uint8
+    dsf = DegradationDataset(str(image_dir), crop_size=32, batch_size=2,
+                             num_workers=1, seed=0)
+    hrf, condf, labelf = next(iter(dsf))
+    np.testing.assert_allclose(hr.astype(np.float32) / 255.0, hrf)
+    np.testing.assert_allclose(cond.astype(np.float32) / 255.0, condf)
+    np.testing.assert_array_equal(label, labelf)
+
+
+def test_fft_conv2d_matches_direct():
+    """The FFT degradation convolution must match scipy.ndimage's direct
+    reflect-padded convolution (the previous implementation) to uint8."""
+    from scipy.ndimage import convolve
+    from srgd_tpu.train.data import _conv2d, aniso_gaussian_kernel, sinc_kernel
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)
+    for k in (sinc_kernel(1.2, 21), aniso_gaussian_kernel(1.5, 0.4, 0.7, 21)):
+        got = _conv2d(img, k).astype(np.int32)
+        want = np.empty_like(img, dtype=np.float32)
+        for ch in range(3):
+            want[:, :, ch] = convolve(img[:, :, ch].astype(np.float32), k,
+                                      mode='reflect')
+        want = np.clip(want, 0, 255).astype(np.uint8).astype(np.int32)
+        # float rounding at the uint8 cast can differ by 1 LSB on ties
+        assert np.abs(got - want).max() <= 1
+
+
 def test_dataset_missing_dir(tmp_path):
     from srgd_tpu.train.data import DegradationDataset
     with pytest.raises(FileNotFoundError):
@@ -489,8 +523,12 @@ def test_sigterm_saves_tail_checkpoint_and_resumes(tmp_path, monkeypatch):
             while True:
                 n += 1
                 if n == self.signal_at:
-                    # delivered synchronously inside next(it): the loop must
-                    # finish the in-flight step, then stop and save
+                    # raised from the producer (the loop's _DevicePrefetcher
+                    # thread); CPython runs the handler in the main thread,
+                    # which must finish its in-flight step, stop and save.
+                    # The prefetch pipeline makes the exact stop step
+                    # timing-dependent — the contract under test is
+                    # stopped-early + exact resume, not the step count.
                     signal.raise_signal(signal.SIGTERM)
                 yield hr, cond, label
 
@@ -510,7 +548,7 @@ def test_sigterm_saves_tail_checkpoint_and_resumes(tmp_path, monkeypatch):
     sB1 = train(conf, 'unused', str(tmp_path / 'B'), total_steps=6,
                 log_every=10, save_every=100)
     ConstData.signal_at = None
-    assert int(sB1.step) == 4            # stopped early, after the 4th step
+    assert 1 <= int(sB1.step) < 6        # stopped early, mid-run
     assert signal.getsignal(signal.SIGTERM) == prev_term  # handler restored
     sB = train(conf, 'unused', str(tmp_path / 'B'), total_steps=6,
                log_every=10, save_every=100)

@@ -39,21 +39,32 @@ fi
 # CHIPQ_ONLY=<name>), so a marker-wiping reboot doesn't burn chip time
 # re-answering settled questions.
 recorded_item() {
-    if [ -z "${CHIPQ_FORCE:-}" ] && [ "${CHIPQ_ONLY:-}" != "$1" ]; then
-        echo "[chipq] $1: recorded in docs/PERF.md, skipping (CHIPQ_FORCE=1 re-measures)"
-        return 0
+    # CHIPQ_ONLY matches by prefix (CHIPQ_ONLY=q30 runs q30_bench_pertime256)
+    if [ -n "${CHIPQ_ONLY:-}" ]; then
+        case "$1" in
+            "${CHIPQ_ONLY}"*) run_item "$@" ;;
+        esac
+        return
     fi
-    run_item "$@"
+    if [ -n "${CHIPQ_FORCE:-}" ]; then
+        run_item "$@"
+        return
+    fi
+    echo "[chipq] $1: recorded in docs/PERF.md, skipping (CHIPQ_FORCE=1 re-measures)"
 }
 
 run_item() {
     local name="$1" tmo="$2"; shift 2
-    if [ -e "$CHIPQ_DIR/$name.done" ]; then
+    # CHIPQ_FORCE=1 re-measures even past a .done marker (header contract)
+    if [ -z "${CHIPQ_FORCE:-}" ] && [ -e "$CHIPQ_DIR/$name.done" ]; then
         echo "[chipq] $name: already done, skipping"
         return 0
     fi
-    if [ -n "${CHIPQ_ONLY:-}" ] && [ "${CHIPQ_ONLY}" != "$name" ]; then
-        return 0
+    if [ -n "${CHIPQ_ONLY:-}" ]; then
+        case "$name" in
+            "${CHIPQ_ONLY}"*) ;;
+            *) echo "[chipq] $name: skipped (CHIPQ_ONLY=${CHIPQ_ONLY})"; return 0 ;;
+        esac
     fi
     echo "[chipq] $name: running (timeout ${tmo}s), log $CHIPQ_DIR/$name.log"
     if timeout "$tmo" "$@" > "$CHIPQ_DIR/$name.log" 2>&1; then

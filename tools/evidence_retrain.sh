@@ -43,6 +43,17 @@ else
     python -m srgd_tpu.train.loop -c conf/trained_evidence_dim64_synth.yaml \
         --data_dir "$DATA" --out_dir "$RUN" \
         --steps "$EV_STEPS" --log_every 200 --save_every 500
+    # train.loop exits 75 on a graceful early stop, but verify the saved
+    # step anyway so a partially trained checkpoint can never be marked
+    # complete (a SIGKILL-ed stint leaves the old marker-less state)
+    python - "$RUN/evidence_dim64_synth" "$EV_STEPS" <<'PYEOF'
+import sys
+from srgd_tpu.checkpoint.io import restore_params
+step = int(restore_params(sys.argv[1])['step'])
+need = int(sys.argv[2])
+print(f'[evidence] train: checkpoint step {step} (need >= {need})')
+sys.exit(0 if step >= need else 1)
+PYEOF
     touch "$RUN/.train_done"
 fi
 
