@@ -228,10 +228,14 @@ class Config:
     tile_size: int = 256
     tile_stride: int = 0              # 0 = tile_size (the only reference-
                                       # reachable value; others raise)
-    continuous_sampler: str = 'ancestral'  # | 'ddim': deterministic eta=0
-                                      # updates for the continuous family —
-                                      # additive fast-sampling mode (the
-                                      # reference ships ancestral only)
+    continuous_sampler: str = 'ancestral'  # | 'ddim' (eta=ddim_eta updates)
+                                      # | 'dpmpp' (DPM-Solver++(2M) multistep)
+                                      # for the continuous family — additive
+                                      # fast-sampling modes (the reference
+                                      # ships ancestral only)
+    ddim_eta: float = 0.0             # continuous 'ddim' stochasticity:
+                                      # 0 = deterministic, 1 = ancestral-
+                                      # equivalent posterior variance
     deep_cache_interval: int = 0      # >1: DeepCache-style sampling — the
                                       # U-Net's deep half recomputes only
                                       # every Nth step (per grid parity when

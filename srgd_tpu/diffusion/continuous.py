@@ -59,9 +59,18 @@ class ContinuousDiffusion:
     loss_type: str = 'l2'
     learned_noise_schedule_frac_gradient: float = 1.0
     sampler: str = 'ancestral'    # 'ancestral' (reference parity) | 'ddim'
-                                  # — deterministic eta=0 update, additive:
-                                  # the reference's continuous family ships
-                                  # ancestral-only (model.py:3174-3188)
+                                  # (eta=ddim_eta update) | 'dpmpp'
+                                  # (DPM-Solver++(2M), multistep data
+                                  # prediction in half-log-SNR space) —
+                                  # additive: the reference's continuous
+                                  # family ships ancestral-only
+                                  # (model.py:3174-3188); the 2M update is
+                                  # the EDM-family math at model.py:2478-2557
+                                  # with lambda(t) = logSNR(t)/2
+    ddim_eta: float = 0.0         # 'ddim' stochasticity: 0 = deterministic
+                                  # DDIM; 1 = ancestral-equivalent variance
+                                  # (exact: tested); intermediate values
+                                  # trade diversity for few-step accuracy
     deep_cache_interval: int = 0  # >1: recompute the U-Net's deep half only
                                   # every Nth step (per grid parity when
                                   # tiled), reusing the cached deep decoder
@@ -75,6 +84,16 @@ class ContinuousDiffusion:
 
     def __post_init__(self):
         self._jit_cache = {}
+        if self.sampler not in ('ancestral', 'ddim', 'dpmpp'):
+            raise ValueError(
+                f"unknown continuous sampler {self.sampler!r}; supported: "
+                "'ancestral', 'ddim', 'dpmpp'")
+        if self.sampler == 'dpmpp' and self.deep_cache_interval > 1:
+            raise NotImplementedError(
+                'dpmpp + deep_cache is not supported: the multistep solver '
+                'threads a previous-x0 state that would interleave with the '
+                'deep-feature cache refresh schedule; use ddim/ancestral '
+                'with deep_cache, or dpmpp without it')
         if self.noise_schedule == 'learned':
             # sampling-time table from the learned monotonic net; jitted so
             # host-loop setup does not dispatch eagerly on remote TPUs
@@ -134,12 +153,18 @@ class ContinuousDiffusion:
     # ------------------------------------------------------------------
     def p_sample_tiles(self, params, x, cond, class_label, noise,
                        log_snr, log_snr_next, mode: str, scale, is_last,
-                       deep_cache=None, return_cache=False):
+                       deep_cache=None, return_cache=False,
+                       prev_x0=None, log_snr_prev=None, first=None):
         """One reverse step on a batch of tiles (or a whole image batch).
 
         log_snr / log_snr_next / scale / is_last are traced scalars.
         Returns (next_x, x_start), with the fresh deep-feature cache
-        appended when ``return_cache`` is set (deep-cache sampling)."""
+        appended when ``return_cache`` is set (deep-cache sampling).
+
+        For sampler='dpmpp', the caller threads the multistep state:
+        prev_x0 (previous step's x0 prediction, same shape as x),
+        log_snr_prev (traced scalar) and first (traced bool marking the
+        first executed step, where the update degenerates to DDIM)."""
         c = -jnp.expm1(log_snr - log_snr_next)
         alpha = jnp.sqrt(jax.nn.sigmoid(log_snr))
         sigma = jnp.sqrt(jax.nn.sigmoid(-log_snr))
@@ -155,15 +180,42 @@ class ContinuousDiffusion:
             eps, cache = eps
 
         x_start = (x - sigma * eps) / alpha
+        if self.sampler == 'dpmpp':
+            # DPM-Solver++(2M), data prediction, in lambda = logSNR/2 space:
+            #   x_next = (sigma_next/sigma) x - alpha_next expm1(-h) D
+            #   D = (1 + 1/(2r)) x0 - 1/(2r) prev_x0,  r = h_prev / h
+            # (first executed step: D = x0, the one-step DDIM limit —
+            # algebraically identical to the eta=0 update below)
+            if self.clip_sample_denoised:
+                x_start = jnp.clip(x_start, -1.0, 1.0)
+            h = 0.5 * (log_snr_next - log_snr)
+            h_prev = 0.5 * (log_snr - log_snr_prev)
+            r = jnp.where(first, 1.0, h_prev / h)
+            d = jnp.where(first, x_start,
+                          x_start + (x_start - prev_x0) / (2.0 * r))
+            next_x = (jnp.sqrt(sq_sigma_next) / sigma * x
+                      - alpha_next * jnp.expm1(-h) * d)
+            return (next_x, x_start, cache) if return_cache else (next_x, x_start)
+
         if self.sampler == 'ddim':
-            # deterministic eta=0 update: x_s = a_s x0 + s_s eps, with eps
+            # eta-DDIM update: x_s = a_s x0 + sqrt(s_s^2 - std^2) eps + std z,
+            # std = eta * sqrt(ancestral step variance); eta=0 deterministic,
+            # eta=1 matches the ancestral posterior exactly (tested). eps is
             # re-derived from the clipped x0 (the discrete family's
             # clip+rederive semantics, model.py:1475-1487)
             if self.clip_sample_denoised:
                 x_start = jnp.clip(x_start, -1.0, 1.0)
                 eps = (x - alpha * x_start) / sigma
-            next_x = (alpha_next * x_start
-                      + jnp.sqrt(sq_sigma_next) * eps)
+            if self.ddim_eta:
+                std = self.ddim_eta * jnp.sqrt(
+                    jnp.maximum(sq_sigma_next * c, 0.0))
+                next_x = (alpha_next * x_start
+                          + jnp.sqrt(jnp.maximum(sq_sigma_next - std * std,
+                                                 0.0)) * eps)
+                next_x = jnp.where(is_last, next_x, next_x + std * noise)
+            else:
+                next_x = (alpha_next * x_start
+                          + jnp.sqrt(sq_sigma_next) * eps)
             return (next_x, x_start, cache) if return_cache else (next_x, x_start)
 
         if self.clip_sample_denoised:
@@ -227,9 +279,16 @@ class ContinuousDiffusion:
         init_img = img  # frame 0 of both capture stacks (model.py:3205-3211)
 
         interval = self.deep_cache_interval
+        use_px = self.sampler == 'dpmpp'   # multistep: thread previous x0
 
         def step(carry, i):
-            img, cache = carry if interval > 1 else (carry, None)
+            if interval > 1:
+                img, cache = carry
+                px = None
+            elif use_px:
+                (img, px), cache = carry, None
+            else:
+                img, px, cache = carry, None, None
             key = jax.random.fold_in(rng, i)
             scale = self._step_scale(i, mode, cond_scale, guidance_start_steps,
                                      class_cond_scale, class_guidance_start_steps)
@@ -238,6 +297,11 @@ class ContinuousDiffusion:
             else:
                 noise = step_noises[i]
             is_last = i == n_steps - 1
+            px_kw = {}
+            if use_px:
+                px_kw = dict(prev_x0=px,
+                             log_snr_prev=table[jnp.maximum(i - 1, 0)],
+                             first=i == generation_start_steps)
             if interval > 1:
                 # refresh the deep half every Nth executed step; in between
                 # only the shallow half runs on the cached deep feature
@@ -262,18 +326,26 @@ class ContinuousDiffusion:
             else:
                 img, x_start = self.p_sample_tiles(
                     params, img, cond, class_label, noise,
-                    table[i], table[i + 1], mode, scale, is_last)
+                    table[i], table[i + 1], mode, scale, is_last, **px_kw)
             ys = (img if capture_trajectory else None,
                   x_start if capture_x0 else None)
-            return ((img, cache) if interval > 1 else img), ys
+            if interval > 1:
+                out_carry = (img, cache)
+            elif use_px:
+                out_carry = (img, x_start)
+            else:
+                out_carry = img
+            return out_carry, ys
 
         idxs = jnp.arange(generation_start_steps, n_steps)
         carry = img
         if interval > 1:
             carry = (img, self._cache_zeros(img.shape[0], img.shape[1],
                                             img.shape[2], mode))
+        elif use_px:
+            carry = (img, jnp.zeros_like(img))
         carry, (traj, x0_traj) = jax.lax.scan(step, carry, idxs)
-        img = carry[0] if interval > 1 else carry
+        img = carry[0] if (interval > 1 or use_px) else carry
 
         out = unnormalize_to_zero_to_one(jnp.clip(img, -1.0, 1.0))
         rets = (out,)
@@ -354,6 +426,9 @@ class ContinuousDiffusion:
                 'deep_cache_interval > 1 with tiled debug captures is not '
                 'supported: the per-step state stack would also stack the '
                 'per-tile deep-feature caches. Capture with deep-cache off.')
+        # dpmpp threads a previous-x0 canvas through the state, exactly like
+        # the capture_x0 x_start canvas (model.py:3331's threading pattern)
+        thread_x0 = capture_x0 or self.sampler == 'dpmpp'
 
         def make_parity_step(parity: int, variant: str = 'std'):
             """One full step on one grid parity, as an explicit-args function
@@ -373,7 +448,7 @@ class ContinuousDiffusion:
                     img, x0c = state[0], None
                     caches = list(state[1:])
                 else:
-                    img, x0c = state if capture_x0 else (state, None)
+                    img, x0c = state if thread_x0 else (state, None)
                 key = jax.random.fold_in(rng, i)
                 key_t, key_m = jax.random.split(key)
                 scale = self._step_scale(
@@ -387,10 +462,19 @@ class ContinuousDiffusion:
                 noise, _ = pad_tiles_to_multiple(
                     extract_tiles(noise_canvas, geom, parity), chunks[parity])
                 is_last = i == n_steps - 1
+                dpmpp = self.sampler == 'dpmpp'
+                px_kw = {}
+                if dpmpp:
+                    # previous-x0 tiles come from the x0 canvas the LAST step
+                    # (other grid parity) scattered; scalar multistep state
+                    px_kw = dict(log_snr_prev=table[jnp.maximum(i - 1, 0)],
+                                 first=i == gss)
 
                 def chunk_fn(xs, cs, ns, *rest):
                     if variant == 'cached':
                         cch, rest = rest[0], rest[1:]
+                    if dpmpp:
+                        px_kw['prev_x0'], rest = rest[0], rest[1:]
                     lb = rest[0] if rest else None
                     if variant == 'full':
                         nx, _, cc = self.p_sample_tiles(
@@ -404,18 +488,21 @@ class ContinuousDiffusion:
                         return nx
                     nx, xs0 = self.p_sample_tiles(
                         params, xs, cs, lb, ns, table[i], table[i + 1],
-                        mode, scale, is_last)
-                    return (nx, xs0) if capture_x0 else nx
+                        mode, scale, is_last, **px_kw)
+                    return (nx, xs0) if thread_x0 else nx
 
                 args = (tiles, ctiles, noise)
                 if variant == 'cached':
                     args = args + (caches[parity],)
+                if dpmpp:
+                    args = args + (pad_tiles_to_multiple(
+                        extract_tiles(x0c, geom, parity), chunks[parity])[0],)
                 if ltiles is not None:
                     args = args + (ltiles,)
                 out = chunked_map(chunk_fn, n_chunks[parity], *args)
                 if variant == 'full':
                     out, caches[parity] = out
-                if capture_x0:
+                if thread_x0:
                     img = scatter_tiles(img, out[0][:n_orig], geom, parity)
                     x0c = scatter_tiles(x0c, out[1][:n_orig], geom, parity)
                 else:
@@ -431,13 +518,17 @@ class ContinuousDiffusion:
                     img = img * interior_mask + fresh * (1.0 - interior_mask)
                 if variant != 'std':
                     return (img, caches[0], caches[1])
-                return (img, x0c) if capture_x0 else img
+                return (img, x0c) if thread_x0 else img
 
             return pstep
 
         capture = capture_trajectory or capture_x0
         init_img = img
-        state = (img, img) if capture_x0 else img
+        # x0 canvas init is never read (first dpmpp step ignores prev_x0;
+        # capture frame 0 comes from init_img) — a DISTINCT buffer, because
+        # the host loop donates the state and (img, img) would donate one
+        # buffer twice
+        state = (img, jnp.zeros_like(img)) if thread_x0 else img
         gss = generation_start_steps
         if dc:
             # per-parity stacks of per-tile deep-feature caches, padded to
@@ -456,7 +547,7 @@ class ContinuousDiffusion:
                          class_guidance_start_steps, tuple(chunks), tuple(n_chunks),
                          class_label is None, b, self.noise_schedule,
                          self.clip_sample_denoised, capture_x0, self.sampler,
-                         dc, self.deep_cache_depth)
+                         self.ddim_eta, dc, self.deep_cache_depth)
             if dc:
                 builders = {(p, v): (lambda p=p, v=v: make_parity_step(p, v))
                             for p in (0, 1) for v in ('full', 'cached')}
@@ -513,7 +604,7 @@ class ContinuousDiffusion:
             state, frames = jax.lax.scan(step, state, jnp.arange(
                 generation_start_steps, n_steps))
 
-        img = state[0] if (capture_x0 or dc) else state
+        img = state[0] if (thread_x0 or dc) else state
         left, top, right, bottom = geom.crop
         out = img[:, top:bottom, left:right, :]
         out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))
@@ -522,7 +613,7 @@ class ContinuousDiffusion:
         init_frame = init_img[None, :, top:bottom, left:right, :]
         rets = (out,)
         if capture_trajectory:
-            img_frames = frames[0] if capture_x0 else frames
+            img_frames = frames[0] if thread_x0 else frames
             rets += (jnp.concatenate([init_frame,
                                       crop_frames(img_frames, geom.crop)]),)
         if capture_x0:

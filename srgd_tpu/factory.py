@@ -59,6 +59,7 @@ def build_wrapper(conf: Config, net: SRUnet):
             num_sample_steps=conf.num_sample_steps,
             clip_sample_denoised=conf.clip_sample_denoised,
             sampler=conf.continuous_sampler,
+            ddim_eta=conf.ddim_eta,
             min_snr_loss_weight=conf.min_snr_loss_weight,
             min_snr_gamma=conf.min_snr_gamma,
             cond_drop_prob=conf.cond_drop_prob,

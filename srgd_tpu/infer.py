@@ -51,9 +51,13 @@ def parse_args(argv=None):
     p.add_argument('--no_amp', dest='amp', action='store_false')
     p.add_argument('--no_dpmpp_solver', dest='use_dpmpp_solver', action='store_false')
     p.add_argument('--continuous_sampler', type=str, default=None,
-                   choices=['ancestral', 'ddim'],
+                   choices=['ancestral', 'ddim', 'dpmpp'],
                    help='continuous-family sampler (default: config; ddim = '
-                        'deterministic updates, usable at far fewer steps)')
+                        'eta-DDIM, dpmpp = DPM-Solver++(2M) multistep — both '
+                        'usable at far fewer steps)')
+    p.add_argument('--ddim_eta', type=float, default=None,
+                   help="stochasticity of --continuous_sampler ddim: 0 = "
+                        "deterministic (default), 1 = ancestral-equivalent")
     p.add_argument('--seed', type=int, default=71)
     p.add_argument('--backend', type=str, default='ddp')  # accepted, unused (parity)
     # TPU-native additions
@@ -295,6 +299,8 @@ def build_model_and_opts(args):
     # automatic XLA fallback when the tile batch doesn't divide it
     if getattr(args, 'continuous_sampler', None):
         conf.continuous_sampler = args.continuous_sampler
+    if getattr(args, 'ddim_eta', None) is not None:
+        conf.ddim_eta = args.ddim_eta
     if getattr(args, 'deep_cache', 0):
         conf.deep_cache_interval = args.deep_cache
         conf.deep_cache_depth = getattr(args, 'deep_cache_depth', 2)

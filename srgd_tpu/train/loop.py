@@ -389,11 +389,11 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
                             log_every / max(dt, 1e-9))
                 t0 = time.time()
             if step % save_every == 0 or step >= total_steps:
-                with timer.phase('save'):
-                    save_state(ckpt_dir, step)
-                logger.info('saved checkpoint at step %d -> %s', step, ckpt_dir)
                 # score per conf.test_target (higher = better; loss/lpips
-                # negated); best_loss needs no validation pass
+                # negated); best_loss needs no validation pass. Scored
+                # BEFORE the periodic save so the saved best_score is
+                # current, and the best-snapshot becomes a cheap file copy
+                # of the checkpoint just written (no second device_get).
                 score = None
                 # without an explicit val_dir, validation falls back to the
                 # held-out folds of the training dir (n_fold/train_fold)
@@ -415,10 +415,17 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
                                 '  '.join(f'{k} {v:.4f}' for k, v in m.items()))
                     score = {'best_psnr': m['psnr'], 'best_ssim': m['ssim'],
                              'best_lpips': -m.get('lpips', np.inf)}[target]
-                if score is not None and score > best_score:
+                improved = score is not None and score > best_score
+                if improved:
                     best_score = score
-                    save_state(os.path.join(
-                        out_dir, f'{conf.prefix or "ckpt"}_{target}'), step)
+                with timer.phase('save'):
+                    save_state(ckpt_dir, step)
+                logger.info('saved checkpoint at step %d -> %s', step, ckpt_dir)
+                if improved:
+                    from srgd_tpu.checkpoint.io import copy_checkpoint
+                    with timer.phase('save_best'):
+                        copy_checkpoint(ckpt_dir, os.path.join(
+                            out_dir, f'{conf.prefix or "ckpt"}_{target}'))
     step = int(state.step)
     if stop.triggered and step % save_every != 0 and step < total_steps:
         # signal arrived between periodic saves: persist the stint's tail

@@ -322,3 +322,104 @@ def test_ddim_factory_knob():
                   continuous_sampler='ddim')
     w = build_wrapper(conf, FakeNet())
     assert w.sampler == 'ddim'
+
+
+# ---------------------------------------------------------------------------
+# eta-DDIM and DPM-Solver++(2M) (additive fast-sampling modes)
+# ---------------------------------------------------------------------------
+
+def test_ddim_eta1_equals_ancestral():
+    """eta=1 DDIM is algebraically the ancestral posterior (same mean and
+    variance under clip+rederive — derivation in p_sample_tiles); with the
+    same rng the two samplers must agree to float tolerance."""
+    cond = jnp.asarray(np.random.RandomState(2).rand(1, 16, 16, 3), jnp.float32)
+    init = jnp.asarray(np.random.RandomState(3).randn(1, 16, 16, 3), jnp.float32)
+    rng = jax.random.PRNGKey(11)
+    anc = make_diff(num_sample_steps=6).sample({}, rng, cond, init_noise=init)
+    eta1 = make_diff(sampler='ddim', ddim_eta=1.0, num_sample_steps=6).sample(
+        {}, rng, cond, init_noise=init)
+    np.testing.assert_allclose(np.asarray(anc), np.asarray(eta1), atol=2e-5)
+    # eta=0 differs from ancestral (guards the comparison)
+    eta0 = make_diff(sampler='ddim', num_sample_steps=6).sample(
+        {}, rng, cond, init_noise=init)
+    assert np.abs(np.asarray(anc) - np.asarray(eta0)).max() > 1e-4
+
+
+def test_ddim_eta_intermediate_is_stochastic_and_bounded():
+    cond = jnp.asarray(np.random.RandomState(5).rand(1, 16, 16, 3), jnp.float32)
+    init = jnp.asarray(np.random.RandomState(6).randn(1, 16, 16, 3), jnp.float32)
+    d = make_diff(sampler='ddim', ddim_eta=0.5, num_sample_steps=5)
+    a = d.sample({}, jax.random.PRNGKey(0), cond, init_noise=init)
+    b = d.sample({}, jax.random.PRNGKey(1), cond, init_noise=init)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6  # key-sensitive
+    assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
+
+
+def test_dpmpp_one_step_equals_ddim():
+    """The first 2M step has no multistep history: D = x0, which is
+    algebraically the one-step DDIM update."""
+    cond = jnp.asarray(np.random.RandomState(7).rand(1, 16, 16, 3), jnp.float32)
+    init = jnp.asarray(np.random.RandomState(8).randn(1, 16, 16, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    a = make_diff(sampler='dpmpp', num_sample_steps=1).sample(
+        {}, rng, cond, init_noise=init)
+    b = make_diff(sampler='ddim', num_sample_steps=1).sample(
+        {}, rng, cond, init_noise=init)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dpmpp_deterministic_and_converges_faster_than_ddim():
+    """Both integrate the same probability-flow ODE; the second-order
+    multistep solver must land closer to the fine-step limit than first-order
+    DDIM at an equal (few) step budget."""
+    cond = jnp.asarray(np.random.RandomState(9).rand(1, 16, 16, 3), jnp.float32)
+    init = jnp.asarray(np.random.RandomState(10).randn(1, 16, 16, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    golden = make_diff(sampler='ddim', num_sample_steps=400).sample(
+        {}, rng, cond, init_noise=init)
+    dp = make_diff(sampler='dpmpp', num_sample_steps=8)
+    a = dp.sample({}, rng, cond, init_noise=init)
+    b = dp.sample({}, jax.random.PRNGKey(999), cond, init_noise=init)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # deterministic
+    dd = make_diff(sampler='ddim', num_sample_steps=8).sample(
+        {}, rng, cond, init_noise=init)
+    err_dp = float(jnp.mean((a - golden) ** 2))
+    err_dd = float(jnp.mean((dd - golden) ** 2))
+    assert err_dp < err_dd, (err_dp, err_dd)
+
+
+def test_dpmpp_tiled_single_tile_matches_sample():
+    """One full-image tile, deterministic solver, same init key -> the tiled
+    sampler must reproduce the non-tiled path exactly."""
+    d = make_diff(sampler='dpmpp', num_sample_steps=5)
+    cond = jnp.asarray(np.random.RandomState(11).rand(1, 16, 16, 3), jnp.float32)
+    rng = jax.random.PRNGKey(3)
+    a = d.sample({}, rng, cond)
+    b = d.tiled_sample({}, rng, cond, tile_size=16, batch_size=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dpmpp_tiled_host_loop_matches_scan():
+    d = make_diff(sampler='dpmpp', num_sample_steps=4)
+    cond = jnp.asarray(np.random.RandomState(12).rand(1, 24, 24, 3), jnp.float32)
+    rng = jax.random.PRNGKey(7)
+    a = d.tiled_sample({}, rng, cond, tile_size=16, batch_size=4)
+    b = d.tiled_sample({}, rng, cond, tile_size=16, batch_size=4,
+                       host_loop=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert a.shape == (1, 24, 24, 3)
+
+
+def test_dpmpp_factory_knob_and_deepcache_reject():
+    from srgd_tpu.config import Config
+    from srgd_tpu.factory import build_wrapper
+    conf = Config(model='conditional_continuous', unet_dim=8,
+                  ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                  continuous_sampler='dpmpp', ddim_eta=0.3)
+    w = build_wrapper(conf, FakeNet())
+    assert w.sampler == 'dpmpp' and w.ddim_eta == 0.3
+    with pytest.raises(NotImplementedError, match='dpmpp'):
+        make_diff(sampler='dpmpp', deep_cache_interval=3)
+    with pytest.raises(ValueError, match='unknown continuous sampler'):
+        make_diff(sampler='heun')

@@ -432,6 +432,33 @@ def test_train_loop_end_to_end(image_dir, tmp_path):
                    log_every=1, save_every=10)
     assert int(state2.step) == 4
 
+    # the best-loss snapshot is a file copy of the periodic checkpoint
+    # (no second device_get) and must restore as a complete train state
+    from srgd_tpu.checkpoint.io import restore_params
+    best_dir = os.path.join(out_dir, f'{conf.prefix}_best_loss')
+    assert os.path.isdir(best_dir)
+    best = restore_params(best_dir)
+    assert {'params', 'ema_params', 'opt_state', 'step',
+            'best_score'} <= set(best)
+
+
+def test_copy_checkpoint_crash_safe(tmp_path):
+    from srgd_tpu.checkpoint.io import (copy_checkpoint, restore_params,
+                                        save_params)
+    src = str(tmp_path / 'src')
+    dst = str(tmp_path / 'dst')
+    save_params(src, {'a': np.arange(4), 'step': 7})
+    copy_checkpoint(src, dst)
+    assert int(restore_params(dst)['step']) == 7
+    # overwrite path (dst exists): swap discipline, debris cleaned
+    save_params(src, {'a': np.arange(4), 'step': 9})
+    os.makedirs(dst + '.new', exist_ok=True)   # crash debris
+    copy_checkpoint(src, dst)
+    assert int(restore_params(dst)['step']) == 9
+    assert not os.path.exists(dst + '.new') and not os.path.exists(dst + '.old')
+    with pytest.raises(FileNotFoundError):
+        copy_checkpoint(str(tmp_path / 'missing'), dst)
+
 
 def test_train_rejects_quantized_config(tmp_path):
     """quantize: w8a8 is inference-only (QuantConv rounds with no STE, so a

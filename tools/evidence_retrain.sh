@@ -42,7 +42,7 @@ else
     echo "[evidence] train: $EV_STEPS steps (auto-resumes from the last save)..."
     python -m srgd_tpu.train.loop -c conf/trained_evidence_dim64_synth.yaml \
         --data_dir "$DATA" --out_dir "$RUN" \
-        --steps "$EV_STEPS" --log_every 200 --save_every 500
+        --steps "$EV_STEPS" --log_every 200 --save_every 1000
     # train.loop exits 75 on a graceful early stop, but verify the saved
     # step anyway so a partially trained checkpoint can never be marked
     # complete (a SIGKILL-ed stint leaves the old marker-less state)
