@@ -1,0 +1,285 @@
+"""Golden parity against the REFERENCE'S OWN model.py (VERDICT r2 missing #1).
+
+Every other parity test runs against tests/torch_ref.py, a torch
+re-derivation written in this repo — a shared misreading would pass all of
+them. Here the golden side is /root/reference/model.py itself (3,667 lines),
+imported through tests/ref_stubs/ which supplies only the tiny library
+surface it inherits (SURVEY.md section 2.11: a constructor-compatible Unet
+base, the standard DDPM buffer formulas, EDM preconditioning scalars, SDPA
+Attend, ModelEmaV2). The reference's own samplers execute end to end:
+
+- ConditionalContinuousTimeGaussianDiffusionSR.sample (model.py:3419) and
+  tiled_sample (model.py:3288) — the flagship serving path, both grids,
+  margin re-noise, remainder minibatch;
+- ConditionalGaussianDiffusionSR.sample -> ddim_sample (model.py:1565-1641).
+
+Noise is matched by reconstructing srgd-tpu's deterministic key schedule
+(jax.random is pure: normal(key, shape) outside jit equals the draw inside)
+and serving those exact arrays to the reference through monkeypatched
+torch.randn/randn_like in call order.
+"""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from srgd_tpu.checkpoint.torch_convert import convert_unet_state_dict
+from srgd_tpu.diffusion.continuous import ContinuousDiffusion
+from srgd_tpu.diffusion.gaussian import GaussianDiffusion
+from srgd_tpu.nn.unet import SRUnet
+
+REF_ROOT = '/root/reference'
+STUB_ROOT = 'tests/ref_stubs'
+
+_ref = None
+
+
+def ref_model():
+    """Import /root/reference/model.py once, with the stub packages first on
+    sys.path so its `denoising_diffusion_pytorch` / `timm` imports resolve."""
+    global _ref
+    if _ref is not None:
+        return _ref
+    import os
+    stub = os.path.abspath(STUB_ROOT)
+    sys.path.insert(0, stub)
+    sys.path.insert(0, REF_ROOT)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            'ref_model', f'{REF_ROOT}/model.py')
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules['ref_model'] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(stub)
+        sys.path.remove(REF_ROOT)
+    _ref = mod
+    return mod
+
+
+class _ReplayNoise:
+    """Serve a pre-computed queue of arrays through torch.randn/randn_like."""
+
+    def __init__(self, arrays):
+        self.queue = [torch.as_tensor(a, dtype=torch.float32) for a in arrays]
+        self._randn, self._randn_like = torch.randn, torch.randn_like
+
+    def __enter__(self):
+        def fake_randn(*shape, **kw):
+            if len(shape) == 1 and isinstance(shape[0], (tuple, list,
+                                                         torch.Size)):
+                shape = tuple(shape[0])
+            out = self.queue.pop(0)
+            assert tuple(out.shape) == tuple(shape), (out.shape, shape)
+            return out
+
+        def fake_randn_like(x, **kw):
+            out = self.queue.pop(0)
+            assert out.shape == x.shape, (out.shape, x.shape)
+            return out
+
+        torch.randn, torch.randn_like = fake_randn, fake_randn_like
+        return self
+
+    def __exit__(self, *exc):
+        torch.randn, torch.randn_like = self._randn, self._randn_like
+        return False
+
+
+def nchw(a):
+    return np.ascontiguousarray(np.moveaxis(a, -1, 1))
+
+
+def _assert_golden(ours, theirs, max_err_tol=1e-3, psnr_tol=60):
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    assert ours.shape == theirs.shape
+    max_err = np.abs(ours - theirs).max()
+    mse = float(np.mean((ours - theirs) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-20))
+    assert max_err < max_err_tol and psnr > psnr_tol, (max_err, psnr)
+
+
+def _build_continuous_pair(dim=8, n_steps=4, num_classes=3,
+                           full_attn=(False, True), attn_heads=4,
+                           attn_dim_head=32):
+    ref = ref_model()
+    torch.manual_seed(0)
+    tnet = ref.ConditionalSRUnet(
+        dim=dim, dim_mults=(1, 2), full_attn=full_attn,
+        learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+        attn_heads=attn_heads, attn_dim_head=attn_dim_head,
+        num_classes=num_classes)
+    tnet.eval()
+    tdiff = ref.ConditionalContinuousTimeGaussianDiffusionSR(
+        tnet, image_size=16, noise_schedule='linear',
+        num_sample_steps=n_steps)
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    params, unmatched = convert_unet_state_dict(sd, num_stages=2)
+    assert not unmatched
+    jnet = SRUnet(dim=dim, dim_mults=(1, 2), full_attn=full_attn,
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+                  attn_heads=attn_heads, attn_dim_head=attn_dim_head,
+                  num_classes=num_classes)
+    jdiff = ContinuousDiffusion(net=jnet, image_size=16,
+                                noise_schedule='linear',
+                                num_sample_steps=n_steps)
+    return tdiff, jdiff, {'params': params}
+
+
+@pytest.mark.parametrize('class_cond_scale', [1.0, 2.0])
+def test_reference_continuous_sample_golden(class_cond_scale):
+    """srgd-tpu sample() vs the reference's own p_sample_loop
+    (model.py:3419 -> 3193-3246), identical injected noise."""
+    n_steps = 4
+    tdiff, jdiff, params = _build_continuous_pair(n_steps=n_steps)
+
+    rng = np.random.default_rng(0)
+    cond01 = rng.uniform(size=(1, 16, 16, 3)).astype(np.float32)
+    init_noise = rng.normal(size=(1, 16, 16, 3)).astype(np.float32)
+    step_noises = rng.normal(size=(n_steps, 1, 16, 16, 3)).astype(np.float32)
+    label = np.asarray([1])
+
+    ours = jdiff.sample(params, jax.random.PRNGKey(0), jnp.asarray(cond01),
+                        jnp.asarray(label),
+                        class_cond_scale=class_cond_scale,
+                        init_noise=jnp.asarray(init_noise),
+                        step_noises=jnp.asarray(step_noises))
+
+    # reference draws: init randn(shape), then randn_like per non-final step
+    queue = [nchw(init_noise)] + [nchw(step_noises[i])
+                                  for i in range(n_steps - 1)]
+    with torch.no_grad(), _ReplayNoise(queue) as replay:
+        theirs = tdiff.sample(
+            batch_size=1, condition_x=torch.as_tensor(nchw(cond01)),
+            class_label=torch.as_tensor(label),
+            class_cond_scale=class_cond_scale)
+        assert not replay.queue
+    _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))
+
+
+def test_reference_continuous_tiled_golden():
+    """srgd-tpu tiled_sample vs the reference's own tiled_sample
+    (model.py:3288-3413): both grid parities, margin re-noise, remainder
+    minibatches, identical injected noise at canvas level.
+
+    tile_size must be 256 here: the reference pads via
+    ``get_coord_and_pad(h, w)`` with the DEFAULT tile_size=256 regardless of
+    the tile_size argument (model.py:3301), so its geometry only matches the
+    sane generalization in srgd_tpu.tiling at the one value the CLI ships.
+    A 300px input pads to a 768px canvas: 3x3 aligned grid (with a
+    remainder minibatch at batch_size 4) + 2x2 shifted grid + margin."""
+    ref = ref_model()
+    n_steps = 2
+    tile, bs = 256, 4
+    # linear attention only (full attention on a 128px feature map is a
+    # 16k-token quadratic), and 1 head x 8 dims: the 65k-token linear-attn
+    # einsums dominate the torch side's CPU time otherwise
+    tdiff, jdiff, params = _build_continuous_pair(
+        n_steps=n_steps, full_attn=(False, False), attn_heads=1,
+        attn_dim_head=8)
+
+    h = w = 300
+    gen = np.random.default_rng(1)
+    cond01 = gen.uniform(size=(1, h, w, 3)).astype(np.float32)
+    label = np.asarray([2])
+
+    # reconstruct srgd-tpu's tiled key schedule (continuous.tiled_sample):
+    # rng -> (rng', init); per step i: fold_in(rng', i) -> (key_t, key_m)
+    rng0 = jax.random.PRNGKey(17)
+    rng1, init_key = jax.random.split(rng0)
+    canvas = (1, 768, 768, 3)
+    init_noise = np.asarray(jax.random.normal(init_key, canvas, jnp.float32))
+    step_noise, margin_noise = {}, {}
+    for i in range(n_steps):
+        key_t, key_m = jax.random.split(jax.random.fold_in(rng1, i))
+        step_noise[i] = np.asarray(jax.random.normal(key_t, canvas,
+                                                     jnp.float32))
+        margin_noise[i] = np.asarray(jax.random.normal(key_m, canvas,
+                                                       jnp.float32))
+
+    ours = jdiff.tiled_sample(params, rng0, jnp.asarray(cond01),
+                              jnp.asarray(label), tile_size=tile,
+                              batch_size=bs)
+
+    # replay queue in the reference's exact draw order: init canvas randn,
+    # then per step one randn_like per tile minibatch (skipped when
+    # times_next == 0, i.e. the final step), then the odd-step margin
+    # q_sample(zeros) canvas draw — coordinates computed by the REFERENCE'S
+    # own get_coords (model.py:137-150)
+    coords0 = ref.get_coords(768, 768, tile, tile, diff=0)
+    coords1 = ref.get_coords(768 - tile, 768 - tile, tile, tile,
+                             diff=tile // 2)
+    queue = [nchw(init_noise)]
+    for i in range(n_steps):
+        coords = coords0 if i % 2 == 0 else coords1
+        if i != n_steps - 1:             # times_next == 0 -> no draw
+            for j in range(0, len(coords), bs):
+                chunk = coords[j:j + bs]
+                arr = np.stack([step_noise[i][0, hs:he, ws:we, :]
+                                for (hs, he, ws, we) in chunk])
+                queue.append(nchw(arr))
+        if i % 2 == 1:
+            queue.append(nchw(margin_noise[i]))
+
+    with torch.no_grad(), _ReplayNoise(queue) as replay:
+        theirs = tdiff.tiled_sample(
+            batch_size=bs, tile_size=tile, tile_stride=tile,
+            condition_x=torch.as_tensor(nchw(cond01)),
+            class_label=torch.as_tensor(label))
+        assert not replay.queue
+    _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))
+
+
+def test_reference_gaussian_ddim_golden():
+    """srgd-tpu DDIM vs the reference's own ddim_sample (model.py:1565-1641;
+    eta=0 deterministic — only the init noise enters the output)."""
+    ref = ref_model()
+    dim, T, S = 8, 20, 10
+    torch.manual_seed(1)
+    tnet = ref.ConditionalSRUnet(
+        dim=dim, dim_mults=(1, 2), full_attn=(False, True),
+        learned_sinusoidal_cond=False, num_classes=3)
+    tnet.eval()
+    tdiff = ref.ConditionalGaussianDiffusionSR(
+        model=tnet, image_size=16, timesteps=T, sampling_timesteps=S,
+        objective='pred_v', beta_schedule='sigmoid')
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    params, unmatched = convert_unet_state_dict(sd, num_stages=2)
+    assert not unmatched
+    jnet = SRUnet(dim=dim, dim_mults=(1, 2), full_attn=(False, True),
+                  learned_sinusoidal_cond=False, num_classes=3)
+    jdiff = GaussianDiffusion(net=jnet, image_size=16, timesteps=T,
+                              sampling_timesteps=S, objective='pred_v',
+                              beta_schedule='sigmoid')
+
+    gen = np.random.default_rng(2)
+    cond01 = gen.uniform(size=(1, 16, 16, 3)).astype(np.float32)
+    label = np.asarray([0])
+
+    # srgd ddim_sample key schedule: rng -> (rng', init)
+    rng0 = jax.random.PRNGKey(23)
+    _, init_key = jax.random.split(rng0)
+    init_noise = np.asarray(jax.random.normal(init_key, (1, 16, 16, 3),
+                                              jnp.float32))
+
+    ours = jdiff.sample({'params': params}, rng0, jnp.asarray(cond01),
+                        jnp.asarray(label))
+
+    # reference: init randn(shape), then one (unused, eta=0) randn_like per
+    # non-final time pair (S pairs, last has time_next < 0)
+    queue = [nchw(init_noise)] + [np.zeros((1, 3, 16, 16), np.float32)
+                                  for _ in range(S - 1)]
+    with torch.no_grad(), _ReplayNoise(queue) as replay:
+        theirs = tdiff.sample(batch_size=1,
+                              condition_x=torch.as_tensor(nchw(cond01)),
+                              class_label=torch.as_tensor(label))
+        assert not replay.queue
+    _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))

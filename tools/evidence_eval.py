@@ -54,8 +54,10 @@ def main():
     conf.compute_dtype = 'bfloat16'
     net = build_unet_from_config(conf)
     wrappers = {}
-    for s in ('ancestral', 'ddim'):
-        conf.continuous_sampler = s
+    for s, eta in (('ancestral', 0.0), ('ddim', 0.0), ('ddim:0.3', 0.3),
+                   ('ddim:1.0', 1.0), ('dpmpp', 0.0)):
+        conf.continuous_sampler = s.split(':')[0]
+        conf.ddim_eta = eta
         wrappers[s] = build_wrapper(conf, net)
     raw = restore_params(ckpt)
     step = int(np.asarray(raw.get('step', 0)))
@@ -93,7 +95,8 @@ def main():
               f'SR {np.mean(d_sr):.2f} dB over {n_images} held-out images '
               f'({hr_size}px, 250 ancestral steps)', flush=True)
 
-    # -- 2. DDIM step ladder ----------------------------------------------
+    # -- 2. Few-step sampler ladder (VERDICT r2 #3: a measured <=50-step
+    # mode within ~1 dB of ancestral-250, or a pinned negative) -------------
     label = 0
     hr = make_image(gen, hr_size)
     cond = degrade(hr, label, gen, cfg=dcfg)
@@ -102,9 +105,13 @@ def main():
     base, dt = sample(cond01, label, 250, 'ancestral')
     print(f'ancestral 250: {psnr(base, hr01):.2f} dB vs HR ({dt:.0f}s)',
           flush=True)
-    for steps in (250, 50, 25):
-        out, dt = sample(cond01, label, steps, 'ddim')
-        print(f'ddim {steps:3d}: {psnr(out, hr01):.2f} dB vs HR, '
+    ladder = [('ddim', 250), ('ddim', 50), ('ddim', 25),
+              ('dpmpp', 50), ('dpmpp', 25), ('dpmpp', 10),
+              ('ddim:0.3', 50), ('ddim:0.3', 25),
+              ('ddim:1.0', 50), ('ddim:1.0', 25)]
+    for mode, steps in ladder:
+        out, dt = sample(cond01, label, steps, mode)
+        print(f'{mode} {steps:3d}: {psnr(out, hr01):.2f} dB vs HR, '
               f'{psnr(out, base):.2f} dB vs ancestral-250 ({dt:.0f}s)',
               flush=True)
 
