@@ -118,6 +118,18 @@ def guided_denoise(net_apply: Callable, params, x, time_b, cond, class_label,
     return (merged, cache) if return_cache else merged
 
 
+def cache_zeros(net, depth: int, batch: int, h: int, w: int, mode: str):
+    """Initial (never-read) deep-cache buffer for DeepCache-style sampling:
+    sample-major, with a CFG pair axis when guidance doubles the net batch
+    (guided_denoise). ``depth`` is the U-Net stage where the cached deep
+    half starts; h/w are the tile/image resolution the net runs at."""
+    shape = (batch, h >> (depth - 1), w >> (depth - 1),
+             net.dim * net.dim_mults[depth - 1])
+    if mode != GUIDANCE_NONE:
+        shape = (batch, 2) + shape[1:]
+    return jnp.zeros(shape, net.dtype)
+
+
 def chunked_map(fn: Callable, n_chunks: int, *arrays):
     """Apply ``fn`` over leading-axis chunks of the given arrays.
 

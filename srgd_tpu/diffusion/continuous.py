@@ -113,14 +113,8 @@ class ContinuousDiffusion:
                               **cache_kw)
 
     def _cache_zeros(self, batch, h, w, mode):
-        """Initial (never-read) deep-cache buffer: sample-major, with a CFG
-        pair axis when guidance doubles the net batch (base.guided_denoise)."""
-        d = self.deep_cache_depth
-        mults = self.net.dim_mults
-        shape = (batch, h >> (d - 1), w >> (d - 1), self.net.dim * mults[d - 1])
-        if mode != GUIDANCE_NONE:
-            shape = (batch, 2) + shape[1:]
-        return jnp.zeros(shape, self.net.dtype)
+        from srgd_tpu.diffusion.base import cache_zeros
+        return cache_zeros(self.net, self.deep_cache_depth, batch, h, w, mode)
 
     def log_snr(self, t, schedule_params=None):
         """Continuous log-SNR; for the learned schedule, schedule_params is

@@ -48,6 +48,16 @@ class ElucidatedDiffusion:
     class_cond_drop_prob: float = 0.0
     use_dpmpp_solver: bool = False
     loss_type: str = 'l2'
+    deep_cache_interval: int = 0  # >1: recompute the U-Net's deep half only
+                                  # every Nth step (per grid parity when
+                                  # tiled) — same DeepCache semantics as
+                                  # continuous.py. On Heun steps, refresh
+                                  # steps run BOTH net evals full (exact
+                                  # Heun) and store the second eval's cache
+                                  # (closest in time to the cached steps
+                                  # that follow); cached steps reuse it for
+                                  # both evals. 0/1 = exact sampling
+    deep_cache_depth: int = 2
 
     def __post_init__(self):
         self._jit_cache = {}
@@ -61,13 +71,17 @@ class ElucidatedDiffusion:
         sig = self.edm.sample_schedule(max(n, 2))[:-1]  # drop trailing 0
         return self.edm.c_noise(jnp.asarray(sig))
 
-    def net_apply(self, params, x, time_b, cond, class_label, class_mask):
+    def net_apply(self, params, x, time_b, cond, class_label, class_mask,
+                  **cache_kw):
         params = select_time_stats(params, time_b[0])
+        if cache_kw:
+            cache_kw['cache_depth'] = self.deep_cache_depth
         return self.net.apply(params, x, time_b, cond=cond,
-                              class_label=class_label, class_mask=class_mask)
+                              class_label=class_label, class_mask=class_mask,
+                              **cache_kw)
 
     def precond_denoise(self, params, x, sigma, cond, class_label, mode, scale,
-                        clamp=False):
+                        clamp=False, deep_cache=None, return_cache=False):
         """Preconditioned network forward with CFG merge.
 
         Parity: model.py:2132-2183. The CFG lerp happens on the FULL
@@ -81,15 +95,22 @@ class ElucidatedDiffusion:
         c_noise = e.c_noise(sigma)
         time_b = jnp.full((b,), c_noise, dtype=jnp.float32)
 
-        def apply_fn(params, xs, ts, cs, lb, mask):
-            net_out = self.net_apply(params, c_in * xs, ts, cs, lb, mask)
+        def apply_fn(params, xs, ts, cs, lb, mask, **kw):
+            net_out = self.net_apply(params, c_in * xs, ts, cs, lb, mask, **kw)
+            if kw.get('return_cache'):
+                net_out, cc = net_out
+                return c_skip * xs + c_out * net_out, cc
             return c_skip * xs + c_out * net_out
 
         out = guided_denoise(apply_fn, params, x, time_b, cond, class_label,
-                             mode, scale)
+                             mode, scale, deep_cache=deep_cache,
+                             return_cache=return_cache)
+        cache = None
+        if return_cache:
+            out, cache = out
         if clamp:
             out = jnp.clip(out, -1.0, 1.0)
-        return out
+        return (out, cache) if return_cache else out
 
     # ------------------------------------------------------------------
     def sigmas_gammas(self, n_steps: int):
@@ -105,23 +126,38 @@ class ElucidatedDiffusion:
     # Heun stochastic sampler ("sample_org"). Parity: model.py:2211-2306.
     # ------------------------------------------------------------------
     def _heun_step(self, params, x, key, sigma, sigma_next, gamma, cond,
-                   class_label, mode, scale, clamp, second_order: bool):
+                   class_label, mode, scale, clamp, second_order: bool,
+                   deep_cache=None, return_cache=False):
+        """With return_cache (DeepCache refresh step): both evals run FULL
+        (exact Heun) and the returned cache is the latest eval's — closest
+        in time to the cached steps that follow. With deep_cache (cached
+        step): both evals reuse the stored deep feature."""
         e = self.edm
         eps = e.S_noise * jax.random.normal(key, x.shape, jnp.float32)
         sigma_hat = sigma + gamma * sigma
         x_hat = x + jnp.sqrt(jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0)) * eps
 
+        kw = {}
+        if return_cache:
+            kw = dict(return_cache=True)
+        elif deep_cache is not None:
+            kw = dict(deep_cache=deep_cache)
         den = self.precond_denoise(params, x_hat, sigma_hat, cond, class_label,
-                                   mode, scale, clamp)
+                                   mode, scale, clamp, **kw)
+        cache = None
+        if return_cache:
+            den, cache = den
         d = (x_hat - den) / sigma_hat
         x_next = x_hat + (sigma_next - sigma_hat) * d
         if second_order:
             den2 = self.precond_denoise(params, x_next, sigma_next, cond,
-                                        class_label, mode, scale, clamp)
+                                        class_label, mode, scale, clamp, **kw)
+            if return_cache:
+                den2, cache = den2
             d2 = (x_next - den2) / sigma_next
             x_next = x_hat + 0.5 * (sigma_next - sigma_hat) * (d + d2)
             d = d2  # reference's x0 capture stores d' on Heun steps (2294-2296)
-        return x_next, d
+        return (x_next, d, cache) if return_cache else (x_next, d)
 
     def sample_org(self, params, rng, condition_x, class_label=None, *,
                    cond_scale=1.0, guidance_start_steps=0, class_cond_scale=1.0,
@@ -152,26 +188,57 @@ class ElucidatedDiffusion:
             ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
             return cs if mode == GUIDANCE_COND else ccs
 
-        def step(img, i):
+        dc = self.deep_cache_interval if self.deep_cache_interval > 1 else 0
+        start = generation_start_steps
+
+        def step(carry, i):
+            img, cache = carry if dc else (carry, None)
             key = jax.random.fold_in(rng, i)
-            img, dd = self._heun_step(params, img, key, sig[i], sig[i + 1],
-                                      gam[i], cond, class_label, mode,
-                                      scale_at(i), clamp, second_order=True)
-            return img, (img if capture_trajectory else None,
-                         dd if capture_x0 else None)
+            hs = dict(second_order=True)
+            if dc:
+                refresh = ((i - start) % dc) == 0
+                img, dd, cache = jax.lax.cond(
+                    refresh,
+                    lambda a: self._heun_step(
+                        params, a[0], key, sig[i], sig[i + 1], gam[i], cond,
+                        class_label, mode, scale_at(i), clamp,
+                        return_cache=True, **hs),
+                    lambda a: self._heun_step(
+                        params, a[0], key, sig[i], sig[i + 1], gam[i], cond,
+                        class_label, mode, scale_at(i), clamp,
+                        deep_cache=a[1], **hs) + (a[1],),
+                    (img, cache))
+            else:
+                img, dd = self._heun_step(params, img, key, sig[i], sig[i + 1],
+                                          gam[i], cond, class_label, mode,
+                                          scale_at(i), clamp, **hs)
+            return ((img, cache) if dc else img), (
+                img if capture_trajectory else None,
+                dd if capture_x0 else None)
 
         # steps 0..n-2 are Heun (sigma_next > 0); final step n-1 is Euler-only
-        start = generation_start_steps
         traj = x0_traj = None
+        carry = img
+        if dc:
+            from srgd_tpu.diffusion.base import cache_zeros
+            carry = (img, cache_zeros(self.net, self.deep_cache_depth,
+                                      img.shape[0], img.shape[1],
+                                      img.shape[2], mode))
         if start < n - 1:
-            img, (traj, x0_traj) = jax.lax.scan(step, img,
-                                                jnp.arange(start, n - 1))
+            carry, (traj, x0_traj) = jax.lax.scan(step, carry,
+                                                  jnp.arange(start, n - 1))
+        img, cache = carry if dc else (carry, None)
         i_last = n - 1
         key = jax.random.fold_in(rng, i_last)
-        img, dd_last = self._heun_step(params, img, key, sig[i_last],
-                                       sig[i_last + 1], gam[i_last], cond,
-                                       class_label, mode, scale_at(i_last),
-                                       clamp, second_order=False)
+        # final Euler step: the refresh schedule position is static here
+        last_kw = {}
+        if dc and ((i_last - start) % dc) != 0:
+            last_kw = dict(deep_cache=cache)
+        out_last = self._heun_step(params, img, key, sig[i_last],
+                                   sig[i_last + 1], gam[i_last], cond,
+                                   class_label, mode, scale_at(i_last),
+                                   clamp, second_order=False, **last_kw)
+        img, dd_last = out_last[:2]
 
         out = unnormalize_to_zero_to_one(jnp.clip(img, -1.0, 1.0))
         rets = (out,)
@@ -211,14 +278,29 @@ class ElucidatedDiffusion:
         init_img = img
 
         t_fn = lambda s: -jnp.log(s)
+        dc = self.deep_cache_interval if self.deep_cache_interval > 1 else 0
+        gss = generation_start_steps
 
         def step(carry, i):
-            img, old_denoised = carry
+            img, old_denoised = carry[:2]
+            cache = carry[2] if dc else None
             cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
             ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
             scale = cs if mode == GUIDANCE_COND else ccs
-            denoised = self.precond_denoise(params, img, sig[i], cond,
-                                            class_label, mode, scale, clamp)
+            if dc:
+                refresh = ((i - gss) % dc) == 0
+                denoised, cache = jax.lax.cond(
+                    refresh,
+                    lambda a: self.precond_denoise(
+                        params, a[0], sig[i], cond, class_label, mode, scale,
+                        clamp, return_cache=True),
+                    lambda a: (self.precond_denoise(
+                        params, a[0], sig[i], cond, class_label, mode, scale,
+                        clamp, deep_cache=a[1]), a[1]),
+                    (img, cache))
+            else:
+                denoised = self.precond_denoise(params, img, sig[i], cond,
+                                                class_label, mode, scale, clamp)
             t, t_next = t_fn(sig[i]), t_fn(jnp.maximum(sig[i + 1], 1e-20))
             h = t_next - t
             prev = jnp.maximum(i - 1, 0)
@@ -231,12 +313,19 @@ class ElucidatedDiffusion:
             denoised_d = jnp.where(use_plain, denoised, denoised_d2)
             # sigma_fn(t_next)/sigma_fn(t) = sig[i+1]/sig[i]
             img = (sig[i + 1] / sig[i]) * img - jnp.expm1(-h) * denoised_d
-            return (img, denoised), (img if capture_trajectory else None,
-                                     denoised_d if capture_x0 else None)
+            out_carry = (img, denoised, cache) if dc else (img, denoised)
+            return out_carry, (img if capture_trajectory else None,
+                               denoised_d if capture_x0 else None)
 
         idxs = jnp.arange(generation_start_steps, n)
-        (img, _), (traj, x0_traj) = jax.lax.scan(
-            step, (img, jnp.zeros_like(img)), idxs)
+        carry = (img, jnp.zeros_like(img))
+        if dc:
+            from srgd_tpu.diffusion.base import cache_zeros
+            carry = carry + (cache_zeros(self.net, self.deep_cache_depth,
+                                         img.shape[0], img.shape[1],
+                                         img.shape[2], mode),)
+        carry, (traj, x0_traj) = jax.lax.scan(step, carry, idxs)
+        img = carry[0]
         out = unnormalize_to_zero_to_one(jnp.clip(img, -1.0, 1.0))
         rets = (out,)
         if capture_trajectory:
@@ -293,16 +382,29 @@ class ElucidatedDiffusion:
         cond_tiles, label_tiles, n_chunks, chunks, interior_mask = \
             prepare_tile_context(cond_padded, geom, b, batch_size, class_label)
 
-        def make_parity_step(parity: int, second_order: bool):
+        dc = self.deep_cache_interval if self.deep_cache_interval > 1 else 0
+        if dc and (capture_trajectory or capture_x0):
+            raise NotImplementedError(
+                'deep_cache_interval > 1 with tiled debug captures is not '
+                'supported (the state stack would also stack the per-tile '
+                'deep-feature caches); capture with deep-cache off')
+
+        def make_parity_step(parity: int, second_order: bool,
+                             variant: str = 'std'):
             """Churn-noise the canvas, Heun-update its tiles, scatter back,
             then (odd steps) re-noise the margin.
 
             The reference draws eps and forms images_hat at canvas level
-            before tiling (model.py:2392-2395); identical here.
-            """
+            before tiling (model.py:2392-2395); identical here. With
+            deep-cache, 'full' steps run exact Heun and store the second
+            eval's cache; 'cached' steps reuse it for both evals."""
 
             def pstep(params, state, ctiles, ltiles, rng, i):
-                img, x0c = state if capture_x0 else (state, None)
+                if variant != 'std':
+                    img, x0c = state[0], None
+                    caches = list(state[1:])
+                else:
+                    img, x0c = state if capture_x0 else (state, None)
                 e = self.edm
                 key = jax.random.fold_in(rng, i)
                 key_t, key_m = jax.random.split(key)
@@ -321,24 +423,45 @@ class ElucidatedDiffusion:
                 tiles = extract_tiles(img_hat, geom, parity)
                 tiles, n_orig = pad_tiles_to_multiple(tiles, chunks[parity])
 
-                def chunk_fn(xs, cs_, *maybe_label):
-                    lb = maybe_label[0] if maybe_label else None
+                def chunk_fn(xs, cs_, *rest):
+                    if variant == 'cached':
+                        cch, rest = rest[0], rest[1:]
+                    lb = rest[0] if rest else None
+                    kw = {}
+                    if variant == 'full':
+                        kw = dict(return_cache=True)
+                    elif variant == 'cached':
+                        kw = dict(deep_cache=cch)
                     den = self.precond_denoise(params, xs, sigma_hat, cs_, lb,
-                                               mode, scale, clamp)
+                                               mode, scale, clamp, **kw)
+                    cc = None
+                    if variant == 'full':
+                        den, cc = den
                     d = (xs - den) / sigma_hat
                     x_next = xs + (sigma_next - sigma_hat) * d
                     if second_order:
                         den2 = self.precond_denoise(params, x_next, sigma_next,
-                                                    cs_, lb, mode, scale, clamp)
+                                                    cs_, lb, mode, scale,
+                                                    clamp, **kw)
+                        if variant == 'full':
+                            den2, cc = den2
                         d2 = (x_next - den2) / sigma_next
                         x_next = xs + 0.5 * (sigma_next - sigma_hat) * (d + d2)
                         d = d2  # reference stores d' on Heun steps (model.py:2431)
+                    if variant == 'full':
+                        return x_next, cc
+                    if variant == 'cached':
+                        return x_next
                     return (x_next, d) if capture_x0 else x_next
 
                 args = (tiles, ctiles)
+                if variant == 'cached':
+                    args = args + (caches[parity],)
                 if ltiles is not None:
                     args = args + (ltiles,)
                 out = chunked_map(chunk_fn, n_chunks[parity], *args)
+                if variant == 'full':
+                    out, caches[parity] = out
                 if capture_x0:
                     img = scatter_tiles(img, out[0][:n_orig], geom, parity)
                     x0c = scatter_tiles(x0c, out[1][:n_orig], geom, parity)
@@ -351,6 +474,8 @@ class ElucidatedDiffusion:
                     fresh = sig[i] * jax.random.normal(key_m, img.shape,
                                                        jnp.float32)
                     img = img * interior_mask + fresh * (1.0 - interior_mask)
+                if variant != 'std':
+                    return (img, caches[0], caches[1])
                 return (img, x0c) if capture_x0 else img
 
             return pstep
@@ -360,47 +485,85 @@ class ElucidatedDiffusion:
         state = (img, img) if capture_x0 else img
 
         start = generation_start_steps
+        if dc:
+            from srgd_tpu.diffusion.base import cache_zeros
+            state = (img,) + tuple(
+                cache_zeros(self.net, self.deep_cache_depth,
+                            cond_tiles[p].shape[0], cond_tiles[p].shape[1],
+                            cond_tiles[p].shape[2], mode)
+                for p in (0, 1))
+        dcv = lambda i: ('full' if ((i - start) // 2) % dc == 0 else 'cached') \
+            if dc else 'std'
+
         if host_loop:
             cache_key = ('edm', geom, n, mode, cond_scale, class_cond_scale,
                          guidance_start_steps, class_guidance_start_steps,
                          tuple(chunks), tuple(n_chunks), class_label is None, b,
-                         clamp, self.edm, capture_x0)
-            builders = {('heun', 0): lambda: make_parity_step(0, True),
-                        ('heun', 1): lambda: make_parity_step(1, True),
-                        ('final', 0): lambda: make_parity_step(0, False),
-                        ('final', 1): lambda: make_parity_step(1, False)}
-            select = lambda i: (('heun' if i < n - 1 else 'final', i % 2), i % 2)
+                         clamp, self.edm, capture_x0, dc, self.deep_cache_depth)
+            variants = ('full', 'cached') if dc else ('std',)
+            builders = {(so, p, v): (lambda so=so, p=p, v=v:
+                                     make_parity_step(p, so == 'heun', v))
+                        for so in ('heun', 'final') for p in (0, 1)
+                        for v in variants}
+            select = lambda i: (('heun' if i < n - 1 else 'final', i % 2,
+                                 dcv(i)), i % 2)
             state, frames = run_tiled_host_loop(
                 self._jit_cache, cache_key, builders, select, params, state,
                 cond_tiles, label_tiles, rng, range(start, n), capture)
         else:
-            heun = (make_parity_step(0, True), make_parity_step(1, True))
-            final = (make_parity_step(0, False), make_parity_step(1, False))
+            if dc:
+                steps_pv = {(p, v): make_parity_step(p, True, v)
+                            for p in (0, 1) for v in ('full', 'cached')}
 
-            def step(state, i):
-                state = jax.lax.cond(
-                    i % 2 == 0,
-                    lambda s: heun[0](params, s, cond_tiles[0],
-                                      label_tiles[0], rng, i),
-                    lambda s: heun[1](params, s, cond_tiles[1],
-                                      label_tiles[1], rng, i),
-                    state)
-                return state, (state if capture else None)
+                def parity_branch(p):
+                    def run(state, i):
+                        refresh = ((i - start) // 2) % dc == 0
+                        return jax.lax.cond(
+                            refresh,
+                            lambda s: steps_pv[(p, 'full')](
+                                params, s, cond_tiles[p], label_tiles[p],
+                                rng, i),
+                            lambda s: steps_pv[(p, 'cached')](
+                                params, s, cond_tiles[p], label_tiles[p],
+                                rng, i),
+                            state)
+                    return run
+
+                heun = (parity_branch(0), parity_branch(1))
+
+                def step(state, i):
+                    state = jax.lax.cond(i % 2 == 0,
+                                         lambda s: heun[0](s, i),
+                                         lambda s: heun[1](s, i), state)
+                    return state, None
+            else:
+                heun_fns = (make_parity_step(0, True), make_parity_step(1, True))
+
+                def step(state, i):
+                    state = jax.lax.cond(
+                        i % 2 == 0,
+                        lambda s: heun_fns[0](params, s, cond_tiles[0],
+                                              label_tiles[0], rng, i),
+                        lambda s: heun_fns[1](params, s, cond_tiles[1],
+                                              label_tiles[1], rng, i),
+                        state)
+                    return state, (state if capture else None)
 
             frames = None
             if start < n - 1:
                 state, frames = jax.lax.scan(step, state, jnp.arange(start, n - 1))
             i_last = n - 1
             p_last = i_last % 2
-            state = final[p_last](params, state, cond_tiles[p_last],
-                                  label_tiles[p_last], rng,
-                                  jnp.asarray(i_last, jnp.int32))
+            final_fn = make_parity_step(p_last, False, dcv(i_last))
+            state = final_fn(params, state, cond_tiles[p_last],
+                             label_tiles[p_last], rng,
+                             jnp.asarray(i_last, jnp.int32))
             if capture:
                 last = jax.tree.map(lambda a: a[None], state)
                 frames = last if frames is None else jax.tree.map(
                     lambda a, z: jnp.concatenate([a, z]), frames, last)
 
-        img = state[0] if capture_x0 else state
+        img = state[0] if (capture_x0 or dc) else state
         left, top, right, bottom = geom.crop
         out = img[:, top:bottom, left:right, :]
         out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))

@@ -67,6 +67,11 @@ class GaussianDiffusion:
     cond_drop_prob: float = 0.0
     class_cond_drop_prob: float = 0.0
     loss_type: str = 'l2'
+    deep_cache_interval: int = 0  # >1: recompute the U-Net's deep half only
+                                  # every Nth step (per grid parity when
+                                  # tiled) — same DeepCache semantics as
+                                  # continuous.py; 0/1 = exact sampling
+    deep_cache_depth: int = 2
 
     def __post_init__(self):
         assert self.objective in OBJECTIVES, (
@@ -89,10 +94,14 @@ class GaussianDiffusion:
         return jnp.asarray(np.linspace(0, self.timesteps - 1, n,
                                        dtype=np.float32))
 
-    def net_apply(self, params, x, time_b, cond, class_label, class_mask):
+    def net_apply(self, params, x, time_b, cond, class_label, class_mask,
+                  **cache_kw):
         params = select_time_stats(params, time_b[0])
+        if cache_kw:
+            cache_kw['cache_depth'] = self.deep_cache_depth
         return self.net.apply(params, x, time_b.astype(jnp.float32), cond=cond,
-                              class_label=class_label, class_mask=class_mask)
+                              class_label=class_label, class_mask=class_mask,
+                              **cache_kw)
 
     # ------------------------------------------------------------------
     # x0 / eps conversions (library-inherited formulas, SURVEY.md 2.11)
@@ -126,12 +135,17 @@ class GaussianDiffusion:
 
     # ------------------------------------------------------------------
     def model_predictions(self, params, x, t, cond, class_label, mode, scale,
-                          clip_x_start=False, rederive_pred_noise=False):
-        """t: traced int scalar. Returns (pred_noise, x_start).
+                          clip_x_start=False, rederive_pred_noise=False,
+                          deep_cache=None, return_cache=False):
+        """t: traced int scalar. Returns (pred_noise, x_start)[, cache].
         Parity: model.py:1449-1489."""
         time_b = jnp.full((x.shape[0],), t, dtype=jnp.int32)
         out = guided_denoise(self.net_apply, params, x, time_b, cond,
-                             class_label, mode, scale)
+                             class_label, mode, scale,
+                             deep_cache=deep_cache, return_cache=return_cache)
+        cache = None
+        if return_cache:
+            out, cache = out
         clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
 
         if self.objective == 'pred_noise':
@@ -145,17 +159,22 @@ class GaussianDiffusion:
         else:  # pred_v
             x0 = clip(self.predict_start_from_v(x, t, out))
             eps = self.predict_noise_from_start(x, t, x0)
-        return eps, x0
+        return (eps, x0, cache) if return_cache else (eps, x0)
 
     # ------------------------------------------------------------------
     # Ancestral sampler (full T steps). Parity: model.py:1502-1563.
     # ------------------------------------------------------------------
-    def p_sample_step(self, params, x, t, cond, class_label, noise, mode, scale):
-        _, x0 = self.model_predictions(params, x, t, cond, class_label, mode, scale)
+    def p_sample_step(self, params, x, t, cond, class_label, noise, mode, scale,
+                      deep_cache=None, return_cache=False):
+        out = self.model_predictions(params, x, t, cond, class_label, mode,
+                                     scale, deep_cache=deep_cache,
+                                     return_cache=return_cache)
+        (_, x0, cache) = out if return_cache else (out + (None,))
         x0 = jnp.clip(x0, -1.0, 1.0)  # clip_denoised=True (model.py:1496-1497)
         mean, _, log_var = self.q_posterior(x0, x, t)
-        nonzero = jnp.asarray(t > 0, jnp.float32)  # no noise at t == 0
-        return mean + nonzero * jnp.exp(0.5 * log_var) * noise, x0
+        nxt = mean + jnp.asarray(t > 0, jnp.float32) \
+            * jnp.exp(0.5 * log_var) * noise  # no noise at t == 0
+        return (nxt, x0, cache) if return_cache else (nxt, x0)
 
     def p_sample_loop(self, params, rng, cond, class_label, *, cond_scale=1.0,
                       guidance_start_steps=0, class_cond_scale=1.0,
@@ -171,21 +190,43 @@ class GaussianDiffusion:
         else:
             img = jax.random.normal(init_key, cond.shape, jnp.float32)
         init_img = img  # frame 0 of both capture stacks (model.py:985-987)
+        dc = self.deep_cache_interval if self.deep_cache_interval > 1 else 0
 
-        def step(img, i):
+        def step(carry, i):
+            img, cache = carry if dc else (carry, None)
             t = T - 1 - i
             key = jax.random.fold_in(rng, i)
             cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
             ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
             scale = cs if mode == GUIDANCE_COND else ccs
             noise = jax.random.normal(key, img.shape, jnp.float32)
-            img, x0 = self.p_sample_step(params, img, t, cond, class_label,
-                                         noise, mode, scale)
-            return img, (img if capture_trajectory else None,
-                         x0 if capture_x0 else None)
+            if dc:
+                refresh = ((i - generation_start_steps) % dc) == 0
+                img, x0, cache = jax.lax.cond(
+                    refresh,
+                    lambda a: self.p_sample_step(
+                        params, a[0], t, cond, class_label, noise, mode,
+                        scale, return_cache=True),
+                    lambda a: self.p_sample_step(
+                        params, a[0], t, cond, class_label, noise, mode,
+                        scale, deep_cache=a[1]) + (a[1],),
+                    (img, cache))
+            else:
+                img, x0 = self.p_sample_step(params, img, t, cond, class_label,
+                                             noise, mode, scale)
+            return ((img, cache) if dc else img), (
+                img if capture_trajectory else None,
+                x0 if capture_x0 else None)
 
         idxs = jnp.arange(generation_start_steps, T)
-        img, (traj, x0_traj) = jax.lax.scan(step, img, idxs)
+        carry = img
+        if dc:
+            from srgd_tpu.diffusion.base import cache_zeros
+            carry = (img, cache_zeros(self.net, self.deep_cache_depth,
+                                      img.shape[0], img.shape[1],
+                                      img.shape[2], mode))
+        carry, (traj, x0_traj) = jax.lax.scan(step, carry, idxs)
+        img = carry[0] if dc else carry
         out = unnormalize_to_zero_to_one(img)  # parity: no final clamp in
         # the reference ancestral loop (model.py:1557-1563)
         rets = (out,)
@@ -199,12 +240,15 @@ class GaussianDiffusion:
     # DDIM sampler. Parity: model.py:1565-1641 (eta = 0).
     # ------------------------------------------------------------------
     def ddim_step(self, params, x, time, time_next, cond, class_label, noise,
-                  mode, scale):
+                  mode, scale, deep_cache=None, return_cache=False):
         """One DDIM update; time/time_next traced int scalars (time_next may
         be -1 on the terminal step -> return x0)."""
-        eps, x0 = self.model_predictions(params, x, time, cond, class_label,
-                                         mode, scale, clip_x_start=True,
-                                         rederive_pred_noise=True)
+        out = self.model_predictions(params, x, time, cond, class_label,
+                                     mode, scale, clip_x_start=True,
+                                     rederive_pred_noise=True,
+                                     deep_cache=deep_cache,
+                                     return_cache=return_cache)
+        (eps, x0, cache) = out if return_cache else (out + (None,))
         s = self.sched
         alpha = s.alphas_cumprod[time]
         alpha_next = s.alphas_cumprod[jnp.maximum(time_next, 0)]
@@ -212,7 +256,8 @@ class GaussianDiffusion:
         sigma = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
         c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma ** 2, 0.0))
         img = x0 * jnp.sqrt(alpha_next) + c * eps + sigma * noise
-        return jnp.where(time_next < 0, x0, img), x0
+        nxt = jnp.where(time_next < 0, x0, img)
+        return (nxt, x0, cache) if return_cache else (nxt, x0)
 
     def ddim_sample(self, params, rng, cond, class_label, *, cond_scale=1.0,
                     guidance_start_steps=0, class_cond_scale=1.0,
@@ -231,23 +276,45 @@ class GaussianDiffusion:
         else:
             img = jax.random.normal(init_key, cond.shape, jnp.float32)
         init_img = img  # frame 0 of both capture stacks (model.py:1032-1034)
+        dc = self.deep_cache_interval if self.deep_cache_interval > 1 else 0
 
-        def step(img, inp):
+        def step(carry, inp):
+            img, cache = carry if dc else (carry, None)
             i, (time, time_next) = inp
             key = jax.random.fold_in(rng, i)
             cs = jnp.where(i < guidance_start_steps, 1.0, cond_scale)
             ccs = jnp.where(i < class_guidance_start_steps, 1.0, class_cond_scale)
             scale = cs if mode == GUIDANCE_COND else ccs
             noise = jax.random.normal(key, img.shape, jnp.float32)
-            img, x0 = self.ddim_step(params, img, time, time_next, cond,
-                                     class_label, noise, mode, scale)
-            return img, (img if capture_trajectory else None,
-                         x0 if capture_x0 else None)
+            if dc:
+                refresh = ((i - generation_start_steps) % dc) == 0
+                img, x0, cache = jax.lax.cond(
+                    refresh,
+                    lambda a: self.ddim_step(
+                        params, a[0], time, time_next, cond, class_label,
+                        noise, mode, scale, return_cache=True),
+                    lambda a: self.ddim_step(
+                        params, a[0], time, time_next, cond, class_label,
+                        noise, mode, scale, deep_cache=a[1]) + (a[1],),
+                    (img, cache))
+            else:
+                img, x0 = self.ddim_step(params, img, time, time_next, cond,
+                                         class_label, noise, mode, scale)
+            return ((img, cache) if dc else img), (
+                img if capture_trajectory else None,
+                x0 if capture_x0 else None)
 
         idxs = jnp.arange(generation_start_steps, n_steps)
-        img, (traj, x0_traj) = jax.lax.scan(
-            step, img, (idxs, (pairs[generation_start_steps:, 0],
-                               pairs[generation_start_steps:, 1])))
+        carry = img
+        if dc:
+            from srgd_tpu.diffusion.base import cache_zeros
+            carry = (img, cache_zeros(self.net, self.deep_cache_depth,
+                                      img.shape[0], img.shape[1],
+                                      img.shape[2], mode))
+        carry, (traj, x0_traj) = jax.lax.scan(
+            step, carry, (idxs, (pairs[generation_start_steps:, 0],
+                                 pairs[generation_start_steps:, 1])))
+        img = carry[0] if dc else carry
         out = unnormalize_to_zero_to_one(img)
         rets = (out,)
         if capture_trajectory:
@@ -312,9 +379,20 @@ class GaussianDiffusion:
         cond_tiles, label_tiles, n_chunks, chunks, interior_mask = \
             prepare_tile_context(cond_padded, geom, b, batch_size, class_label)
 
-        def make_parity_step(parity: int):
+        dc = self.deep_cache_interval if self.deep_cache_interval > 1 else 0
+        if dc and (capture_trajectory or capture_x0):
+            raise NotImplementedError(
+                'deep_cache_interval > 1 with tiled debug captures is not '
+                'supported (the state stack would also stack the per-tile '
+                'deep-feature caches); capture with deep-cache off')
+
+        def make_parity_step(parity: int, variant: str = 'std'):
             def pstep(params, state, ctiles, ltiles, rng, i):
-                img, x0c = state if capture_x0 else (state, None)
+                if variant != 'std':
+                    img, x0c = state[0], None
+                    caches = list(state[1:])
+                else:
+                    img, x0c = state if capture_x0 else (state, None)
                 time, time_next = pairs[i, 0], pairs[i, 1]
                 key = jax.random.fold_in(rng, i)
                 key_t, key_m = jax.random.split(key)
@@ -329,16 +407,32 @@ class GaussianDiffusion:
                 noise, _ = pad_tiles_to_multiple(
                     extract_tiles(noise_canvas, geom, parity), chunks[parity])
 
-                def chunk_fn(xs, cs_, ns, *maybe_label):
-                    lb = maybe_label[0] if maybe_label else None
+                def chunk_fn(xs, cs_, ns, *rest):
+                    if variant == 'cached':
+                        cch, rest = rest[0], rest[1:]
+                    lb = rest[0] if rest else None
+                    if variant == 'full':
+                        nx, _, cc = self.ddim_step(
+                            params, xs, time, time_next, cs_, lb, ns, mode,
+                            scale, return_cache=True)
+                        return nx, cc
+                    if variant == 'cached':
+                        nx, _ = self.ddim_step(
+                            params, xs, time, time_next, cs_, lb, ns, mode,
+                            scale, deep_cache=cch)
+                        return nx
                     nx, xs0 = self.ddim_step(params, xs, time, time_next, cs_,
                                              lb, ns, mode, scale)
                     return (nx, xs0) if capture_x0 else nx
 
                 args = (tiles, ctiles, noise)
+                if variant == 'cached':
+                    args = args + (caches[parity],)
                 if ltiles is not None:
                     args = args + (ltiles,)
                 out = chunked_map(chunk_fn, n_chunks[parity], *args)
+                if variant == 'full':
+                    out, caches[parity] = out
                 if capture_x0:
                     img = scatter_tiles(img, out[0][:n_orig], geom, parity)
                     x0c = scatter_tiles(x0c, out[1][:n_orig], geom, parity)
@@ -358,6 +452,8 @@ class GaussianDiffusion:
                     renoised = jnp.where(time_next < 0, stale,
                                          fresh * (1.0 - interior_mask))
                     img = img * interior_mask + renoised
+                if variant != 'std':
+                    return (img, caches[0], caches[1])
                 return (img, x0c) if capture_x0 else img
 
             return pstep
@@ -365,6 +461,14 @@ class GaussianDiffusion:
         capture = capture_trajectory or capture_x0
         init_img = img
         state = (img, img) if capture_x0 else img
+        gss = generation_start_steps
+        if dc:
+            from srgd_tpu.diffusion.base import cache_zeros
+            state = (img,) + tuple(
+                cache_zeros(self.net, self.deep_cache_depth,
+                            cond_tiles[p].shape[0], cond_tiles[p].shape[1],
+                            cond_tiles[p].shape[2], mode)
+                for p in (0, 1))
 
         indices = range(generation_start_steps, n_steps)
         if host_loop:
@@ -372,29 +476,63 @@ class GaussianDiffusion:
                          cond_scale, class_cond_scale, guidance_start_steps,
                          class_guidance_start_steps, tuple(chunks), tuple(n_chunks),
                          class_label is None, b, self.beta_schedule,
-                         self.objective, capture_x0)
+                         self.objective, capture_x0, dc, self.deep_cache_depth)
+            if dc:
+                builders = {(p, v): (lambda p=p, v=v: make_parity_step(p, v))
+                            for p in (0, 1) for v in ('full', 'cached')}
+                select = lambda i: (((i % 2), 'full'
+                                     if ((i - gss) // 2) % dc == 0
+                                     else 'cached'), i % 2)
+            else:
+                builders = {0: lambda: make_parity_step(0),
+                            1: lambda: make_parity_step(1)}
+                select = lambda i: (i % 2, i % 2)
             state, frames = run_tiled_host_loop(
-                self._jit_cache, cache_key,
-                {0: lambda: make_parity_step(0), 1: lambda: make_parity_step(1)},
-                lambda i: (i % 2, i % 2), params, state, cond_tiles, label_tiles,
-                rng, indices, capture)
+                self._jit_cache, cache_key, builders, select,
+                params, state, cond_tiles, label_tiles, rng, indices, capture)
         else:
-            even_step, odd_step = make_parity_step(0), make_parity_step(1)
+            if dc:
+                steps_pv = {(p, v): make_parity_step(p, v)
+                            for p in (0, 1) for v in ('full', 'cached')}
 
-            def step(state, i):
-                state = jax.lax.cond(
-                    i % 2 == 0,
-                    lambda s: even_step(params, s, cond_tiles[0],
-                                        label_tiles[0], rng, i),
-                    lambda s: odd_step(params, s, cond_tiles[1],
-                                       label_tiles[1], rng, i),
-                    state)
-                return state, (state if capture else None)
+                def parity_branch(p):
+                    def run(state, i):
+                        refresh = ((i - gss) // 2) % dc == 0
+                        return jax.lax.cond(
+                            refresh,
+                            lambda s: steps_pv[(p, 'full')](
+                                params, s, cond_tiles[p], label_tiles[p],
+                                rng, i),
+                            lambda s: steps_pv[(p, 'cached')](
+                                params, s, cond_tiles[p], label_tiles[p],
+                                rng, i),
+                            state)
+                    return run
+
+                even_step, odd_step = parity_branch(0), parity_branch(1)
+
+                def step(state, i):
+                    state = jax.lax.cond(i % 2 == 0,
+                                         lambda s: even_step(s, i),
+                                         lambda s: odd_step(s, i), state)
+                    return state, None
+            else:
+                even_fn, odd_fn = make_parity_step(0), make_parity_step(1)
+
+                def step(state, i):
+                    state = jax.lax.cond(
+                        i % 2 == 0,
+                        lambda s: even_fn(params, s, cond_tiles[0],
+                                          label_tiles[0], rng, i),
+                        lambda s: odd_fn(params, s, cond_tiles[1],
+                                         label_tiles[1], rng, i),
+                        state)
+                    return state, (state if capture else None)
 
             state, frames = jax.lax.scan(
                 step, state, jnp.arange(generation_start_steps, n_steps))
 
-        img = state[0] if capture_x0 else state
+        img = state[0] if (capture_x0 or dc) else state
         left, top, right, bottom = geom.crop
         out = img[:, top:bottom, left:right, :]
         out = unnormalize_to_zero_to_one(jnp.clip(out, -1.0, 1.0))

@@ -37,10 +37,8 @@ def build_wrapper(conf: Config, net: SRUnet):
 
     n_stages = len(conf.ddpm_unet_dim_mults.split(','))
     if conf.deep_cache_interval > 1:
-        if conf.model not in CONTINUOUS_MODELS:
-            raise NotImplementedError(
-                f'deep_cache_interval is only implemented for the continuous '
-                f'family, not {conf.model!r} (reject-rather-than-ignore)')
+        # all three families support DeepCache sampling (continuous since r2;
+        # gaussian DDIM/ancestral + EDM Heun/DPM++ since r3, VERDICT r2 #5)
         if not 1 <= conf.deep_cache_depth < n_stages:
             raise ValueError(
                 f'deep_cache_depth must be in [1, {n_stages - 1}] for '
@@ -75,6 +73,8 @@ def build_wrapper(conf: Config, net: SRUnet):
         from srgd_tpu.diffusion.gaussian import GaussianDiffusion
         return GaussianDiffusion(
             net=net,
+            deep_cache_interval=conf.deep_cache_interval,
+            deep_cache_depth=conf.deep_cache_depth,
             image_size=conf.image_size,
             timesteps=conf.timesteps,
             sampling_timesteps=conf.sampling_timesteps,
@@ -95,6 +95,8 @@ def build_wrapper(conf: Config, net: SRUnet):
         from srgd_tpu.diffusion.schedules import EDMParams
         return ElucidatedDiffusion(
             net=net,
+            deep_cache_interval=conf.deep_cache_interval,
+            deep_cache_depth=conf.deep_cache_depth,
             image_size=conf.image_size,
             num_sample_steps=conf.num_sample_steps,
             edm=EDMParams(

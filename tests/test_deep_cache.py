@@ -215,14 +215,117 @@ def test_capture_with_deep_cache_rejected():
                        batch_size=2, capture_x0=True, num_sample_steps=4)
 
 
-def test_unsupported_family_rejected():
-    conf = _tiny_conf(quantize='none')
-    conf.model = 'conditional'       # discrete gaussian family
-    conf.learned_sinusoidal_cond = False
-    conf.deep_cache_interval = 2
+# ---------------------------------------------------------------------------
+# Gaussian + elucidated families (VERDICT r2 #5: DeepCache was
+# continuous-only; the reference families are equal citizens)
+# ---------------------------------------------------------------------------
+
+def _conf3_family(model, **kw):
+    base = dict(model=model, unet_dim=8, ddpm_unet_dim_mults='1,2,4',
+                full_attn='False,False,True', num_classes=3, image_size=16,
+                quantize='none', num_sample_steps=6,
+                learned_sinusoidal_cond=model != 'conditional_gaussian',
+                learned_sinusoidal_dim=8)
+    if model == 'conditional_gaussian':
+        # sigmoid schedule: the linear one has beta_end = (1000/T)*0.02 > 1
+        # at tiny T (reference parity), which poisons alphas_cumprod
+        base.update(timesteps=12, sampling_timesteps=6,
+                    beta_schedule='sigmoid')
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.mark.parametrize('model', ['conditional_gaussian',
+                                   'conditional_elucidated'])
+def test_family_interval_one_is_exact(model):
+    conf = _conf3_family(model)
     net = build_unet_from_config(conf)
-    with pytest.raises(NotImplementedError, match='continuous'):
-        build_wrapper(conf, net)
+    params = _init_net_params(net, conf)
+    w_off = build_wrapper(conf, net)
+    w_on = build_wrapper(_conf3_family(model, deep_cache_interval=1), net)
+    rng = jax.random.PRNGKey(3)
+    cond = jax.random.uniform(jax.random.PRNGKey(4), (1, 16, 16, 3))
+    lb = jnp.zeros((1,), jnp.int32)
+    a = w_off.sample(params, rng, cond, lb, num_sample_steps=6)
+    b = w_on.sample(params, rng, cond, lb, num_sample_steps=6)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize('model', ['conditional_gaussian',
+                                   'conditional_elucidated'])
+def test_family_cached_sampling_in_band(model):
+    """interval=2 non-tiled: finite and in a sane PSNR band of exact."""
+    conf = _conf3_family(model)
+    net = build_unet_from_config(conf)
+    params = _init_net_params(net, conf)
+    w_off = build_wrapper(conf, net)
+    w_2 = build_wrapper(_conf3_family(model, deep_cache_interval=2,
+                                      deep_cache_depth=2), net)
+    rng = jax.random.PRNGKey(5)
+    cond = jax.random.uniform(jax.random.PRNGKey(6), (1, 16, 16, 3))
+    lb = jnp.zeros((1,), jnp.int32)
+    exact = w_off.sample(params, rng, cond, lb, num_sample_steps=6)
+    out = w_2.sample(params, rng, cond, lb, num_sample_steps=6)
+    assert np.isfinite(np.asarray(out)).all()
+    assert _psnr(exact, out) > 15.0
+    # and the cache path actually changes the output (deep half skipped)
+    assert np.abs(np.asarray(exact) - np.asarray(out)).max() > 0
+
+
+def test_gaussian_ancestral_cached_runs():
+    """The full-T ancestral loop (no sampling_timesteps) with deep-cache."""
+    conf = _conf3_family('conditional_gaussian', timesteps=8,
+                         sampling_timesteps=None, deep_cache_interval=2)
+    net = build_unet_from_config(conf)
+    params = _init_net_params(net, conf)
+    w = build_wrapper(conf, net)
+    cond = jax.random.uniform(jax.random.PRNGKey(7), (1, 16, 16, 3))
+    out = w.sample(params, jax.random.PRNGKey(8), cond,
+                   jnp.zeros((1,), jnp.int32))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_edm_dpmpp_cached_runs():
+    conf = _conf3_family('conditional_elucidated', deep_cache_interval=2,
+                         use_dpmpp_solver=True)
+    net = build_unet_from_config(conf)
+    params = _init_net_params(net, conf)
+    w = build_wrapper(conf, net)
+    assert w.use_dpmpp_solver
+    cond = jax.random.uniform(jax.random.PRNGKey(9), (1, 16, 16, 3))
+    out = w.sample(params, jax.random.PRNGKey(10), cond,
+                   jnp.zeros((1,), jnp.int32), num_sample_steps=6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize('model', ['conditional_gaussian',
+                                   'conditional_elucidated'])
+def test_family_tiled_host_loop_matches_scan_at_interval3(model):
+    conf = _conf3_family(model, deep_cache_interval=3, deep_cache_depth=1)
+    net = build_unet_from_config(conf)
+    params = _init_net_params(net, conf)
+    w = build_wrapper(conf, net)
+    w_off = build_wrapper(_conf3_family(model), net)
+    rng = jax.random.PRNGKey(11)
+    cond = jax.random.uniform(jax.random.PRNGKey(12), (1, 24, 24, 3))
+    lb = jnp.zeros((1,), jnp.int32)
+    kw = dict(tile_size=16, batch_size=2, num_sample_steps=6)
+    a = w.tiled_sample(params, rng, cond, lb, host_loop=False, **kw)
+    b = w.tiled_sample(params, rng, cond, lb, host_loop=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    exact = w_off.tiled_sample(params, rng, cond, lb, **kw)
+    assert np.isfinite(np.asarray(a)).all()
+    # sanity band only (the real invariant is the bitwise host_loop==scan
+    # check above and the N<=1 exactness test): random weights at the most
+    # aggressive setting (depth=1 caches nearly the whole net; EDM Heun
+    # reuses the stale cache in BOTH evals per step) measured 12.7 dB
+    assert _psnr(exact, a) > 10.0
+
+
+def _init_net_params(net, conf):
+    kwargs = {'class_label': jnp.zeros((1,), jnp.int32)}
+    return net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                    jnp.zeros((1,)), cond=jnp.zeros((1, 16, 16, 3)), **kwargs)
 
 
 def test_bad_depth_rejected():
