@@ -217,6 +217,10 @@ class Config:
     quantize_min_channels: int = 0    # only quantize blocks >= this wide
     quantize_smooth_alpha: float = 0.0  # >0: SmoothQuant per-input-channel
                                       # smoothing with this alpha (quant.py)
+    quantize_cal_mode: str = 'max'    # calibration scale estimator: 'max'
+                                      # or 'p<pct>' (e.g. 'p99.9'; quant.py
+                                      # _cal_amax; exclusive with
+                                      # smooth_alpha > 0)
     use_pallas_kernels: bool = False  # round-1 fused Pallas attention /
                                       # GroupNorm+SiLU (opt-in, net-neutral)
     fused_linattn: bool = True        # whole-block Pallas linear attention

@@ -81,6 +81,11 @@ def parse_args(argv=None):
                         'nearest per sampling step (activations shrink as '
                         'noise decays; one global running-max over-scales '
                         'the low-noise steps)')
+    p.add_argument('--quant_cal_mode', type=str, default='max',
+                   help="with --quant_calibrate: per-call scale estimator "
+                        "the running max aggregates — 'max' (amax) or "
+                        "'p<pct>' (|x| percentile, e.g. p99.9: clips the "
+                        "outlier tail; nn/quant.py _cal_amax)")
     p.add_argument('--quant_calibrate', action='store_true',
                    help='with --precision int8: record static activation '
                         'scales once (PTQ calibration) instead of per-call '
@@ -287,6 +292,8 @@ def build_model_and_opts(args):
         conf.quantize_min_channels = getattr(args, 'quantize_min_channels', 512)
         if getattr(args, 'quantize_smooth_alpha', 0.0):
             conf.quantize_smooth_alpha = args.quantize_smooth_alpha
+        if getattr(args, 'quant_cal_mode', 'max') != 'max':
+            conf.quantize_cal_mode = args.quant_cal_mode
     else:
         # --precision fp32/bf16 means what it says even when the YAML carries
         # quantize: w8a8 (e.g. the shipped *_tpu_serving.yaml): the CLI flag is

@@ -14,6 +14,11 @@ quantization happens at apply time:
     record running-max scales in a ``quant_stats`` variable collection;
     applies carrying that collection use the static scales and skip the
     amax pass (measured ~10-15% faster conv chains, docs/PERF.md).
+    ``cal_mode`` picks the per-call scale estimator the running max
+    aggregates (VERDICT r2 #9 — running-max is outlier-hostage at >=256ch):
+    'max' (amax, default) or 'p<pct>' (|x| percentile, e.g. 'p99.9' — clips
+    the outlier tail). The estimator only changes what calibration RECORDS;
+    the apply-time int8 path is identical in all modes.
 - optional SmoothQuant-style smoothing (``smooth_alpha`` > 0): activation
   outliers concentrate in a few input channels, so a per-tensor activation
   scale wastes most of the int8 grid on the quiet channels. Per-input-channel
@@ -40,6 +45,31 @@ from flax import linen as nn
 Dtype = Any
 
 
+def _cal_amax(xf, mode):
+    """Per-call effective amax under calibration estimator ``mode``.
+
+    'max': exact amax (running-max calibration, the crude baseline).
+    'p<pct>': the |x| percentile, e.g. 'p99.9' — activation values above it
+    clip at apply time, spending the int8 grid on the bulk instead of the
+    outlier tail (the >=256ch bad-draw failure mode, docs/PERF.md).
+
+    An elementwise-MSE grid search over clip points was tried and removed:
+    at int8 granularity (127 levels) the rounding-error gain from clipping
+    never outweighs the squared clip error of even extreme tails, so the
+    MSE optimum degenerates to amax on gaussian/cubed-gaussian/lognormal/
+    spiked inputs alike (pinned negative, docs/PERF.md quant section).
+    Calibration-time only — never runs in the sampling hot path."""
+    amax = jnp.max(jnp.abs(xf))
+    if mode == 'max':
+        return amax
+    if mode.startswith('p'):
+        pct = float(mode[1:])
+        if not 0.0 < pct <= 100.0:
+            raise ValueError(f'cal_mode percentile out of (0, 100]: {mode!r}')
+        return jnp.quantile(jnp.abs(xf).reshape(-1), pct / 100.0)
+    raise ValueError(f"unknown cal_mode {mode!r}: expected 'max' or 'p<pct>'")
+
+
 class QuantConv(nn.Module):
     """2-D convolution executed as s8 x s8 -> s32 on the MXU.
 
@@ -54,6 +84,7 @@ class QuantConv(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     smooth_alpha: float = 0.0
+    cal_mode: str = 'max'        # 'max' | 'p<pct>' (calibration-time only)
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros
 
@@ -77,6 +108,13 @@ class QuantConv(nn.Module):
                        and not self.is_initializing())
 
         if self.smooth_alpha > 0.0:
+            if self.cal_mode != 'max':
+                # smoothing already absorbs the outlier channels the
+                # percentile/mse estimators exist to clip, and the two
+                # static-scale mechanisms compound badly when combined
+                # (docs/PERF.md: cal+smooth 45-48 dB) — reject, don't stack
+                raise ValueError('quantize_cal_mode != max cannot be '
+                                 'combined with quantize_smooth_alpha > 0')
             # SmoothQuant: per-input-channel activation amax a_c drives both
             # the smoothing factors and the (smoothed) per-tensor scale.
             if calibrating or self.has_variable('quant_stats', 'act_amax_ch'):
@@ -103,7 +141,7 @@ class QuantConv(nn.Module):
                 sv = self.variable('quant_stats', 'act_scale',
                                    lambda: jnp.zeros((), jnp.float32))
                 if calibrating:
-                    dyn = jnp.max(jnp.abs(xf)) / 127.0 + 1e-12
+                    dyn = _cal_amax(xf, self.cal_mode) / 127.0 + 1e-12
                     sv.value = jnp.maximum(sv.value, dyn)
                     s_x = dyn
                 else:
@@ -277,6 +315,7 @@ def calibration_fingerprint(conf, *, ckpt_path='', tile_size=256,
         'quantize': conf.quantize,
         'quantize_min_channels': conf.quantize_min_channels,
         'quantize_smooth_alpha': float(conf.quantize_smooth_alpha),
+        'quantize_cal_mode': getattr(conf, 'quantize_cal_mode', 'max'),
         'per_time': bool(per_time),
         'n_times': int(n_times),
         'batch': int(batch),
@@ -371,8 +410,9 @@ def conv(features, kernel_size, *, padding=0, use_bias=True,
          kernel_init=None, bias_init=None, name=None):
     """nn.Conv or its W8A8 twin, keyed on ``quant``.
 
-    ``quant``: None (float), 'w8a8', or 'w8a8:<alpha>' — the optional suffix
-    enables SmoothQuant smoothing with that alpha (see QuantConv).
+    ``quant``: None (float) or 'w8a8[:<alpha>[:<cal_mode>]]' — alpha > 0
+    enables SmoothQuant smoothing, cal_mode picks the calibration scale
+    estimator ('max'/'p<pct>'/'mse', see QuantConv).
     """
     kw = {}
     if kernel_init is not None:
@@ -380,9 +420,11 @@ def conv(features, kernel_size, *, padding=0, use_bias=True,
     if bias_init is not None:
         kw['bias_init'] = bias_init
     if quant is not None and quant.startswith('w8a8'):
-        alpha = float(quant.split(':', 1)[1]) if ':' in quant else 0.0
+        parts = quant.split(':')
+        alpha = float(parts[1]) if len(parts) > 1 else 0.0
+        cal_mode = parts[2] if len(parts) > 2 else 'max'
         return QuantConv(features, kernel_size, padding=padding,
                          use_bias=use_bias, dtype=dtype, name=name,
-                         smooth_alpha=alpha, **kw)
+                         smooth_alpha=alpha, cal_mode=cal_mode, **kw)
     return nn.Conv(features, kernel_size, padding=padding,
                    use_bias=use_bias, dtype=dtype, name=name, **kw)

@@ -241,7 +241,8 @@ class SRUnet(nn.Module):
 
 
 def _quant_spec(conf):
-    """Config -> conv quant spec string ('w8a8', 'w8a8:<alpha>', or None)."""
+    """Config -> conv quant spec string ('w8a8[:<alpha>[:<cal_mode>]]' or
+    None)."""
     if conf.quantize == 'none':
         return None
     if conf.quantize != 'w8a8':
@@ -254,6 +255,13 @@ def _quant_spec(conf):
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f'quantize_smooth_alpha must be in [0, 1], '
                          f'got {alpha}')
+    cal_mode = getattr(conf, 'quantize_cal_mode', 'max')
+    if cal_mode != 'max':
+        if alpha > 0.0:
+            raise ValueError('quantize_cal_mode != max cannot be combined '
+                             'with quantize_smooth_alpha > 0 (the static-'
+                             'scale mechanisms compound, docs/PERF.md)')
+        return f'w8a8:0:{cal_mode}'
     if alpha > 0.0:
         return f'w8a8:{alpha:g}'
     return conf.quantize

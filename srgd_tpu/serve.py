@@ -100,6 +100,9 @@ def parse_args(argv=None):
     p.add_argument('--quantize_smooth_alpha', type=float, default=0.0)
     p.add_argument('--quant_calibrate', action='store_true')
     p.add_argument('--quant_calibrate_per_time', action='store_true')
+    p.add_argument('--quant_cal_mode', type=str, default='max',
+                   help="calibration scale estimator: 'max' or 'p<pct>' "
+                        "(see infer.py --quant_cal_mode)")
     p.add_argument('--deep_cache', type=int, default=0,
                    help='>1: DeepCache fast sampling — recompute the U-Net '
                         'deep half every Nth step only (see infer.py)')

@@ -9,7 +9,8 @@ Env knobs: QP_LR (128), QP_STEPS (50), QP_DIM (128),
 QP_MODES ('float32,bfloat16'; 'w8a8' = bf16 + calibrated int8-MXU convs,
 'w8a8dyn' = same with dynamic activation scales, 'w8a8t' = per-timestep
 calibrated scales; append '@<alpha>' for
-SmoothQuant smoothing, e.g. 'w8a8dyn@0.5'), QP_QMIN (0 — only
+SmoothQuant smoothing, e.g. 'w8a8dyn@0.5'; append '%<cal_mode>' for the
+calibration scale estimator, e.g. 'w8a8%p99.9'), QP_QMIN (0 — only
 quantize blocks >= this many channels), QP_WSEED/QP_CSEED (0/1 — weight
 and condition seeds, for replicating results across draws),
 QP_CONF (YAML path overriding the flagship conf; with it QP_DIM is
@@ -72,10 +73,14 @@ def main():
         # 'w8a8@0.5' / 'w8a8dyn@0.5': SmoothQuant smoothing with that alpha
         base, _, suffix = mode_q.partition('@')
         is_q = base.startswith('w8a8')
+        # 'w8a8%p99.9' / 'w8a8%mse': calibration scale estimator
+        # (quant.py _cal_amax; VERDICT r2 #9 experiment)
+        base, _, cal_mode = base.partition('%')
         conf.compute_dtype = 'bfloat16' if is_q else base
         conf.quantize = 'w8a8' if is_q else 'none'
         conf.quantize_min_channels = int(os.environ.get('QP_QMIN', 0))
         conf.quantize_smooth_alpha = float(suffix) if suffix else 0.0
+        conf.quantize_cal_mode = cal_mode or 'max'
         net = build_unet_from_config(conf)
         wrapper = build_wrapper(conf, net)
         if ckpt:
