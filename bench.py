@@ -42,7 +42,9 @@ silent. Ladder + ship verdict in docs/PERF.md),
 BENCH_CAL_CACHE (.bench_cache/cal.npz; persists calibrated scales across
 runs, fingerprint-invalidated on any geometry change; '' = recalibrate),
 BENCH_QUANT_MIN_CH (512; 0 quantizes every stage), BENCH_QUANT_SMOOTH
-(0.0; >0 = SmoothQuant alpha, nn/quant.py), BENCH_MESH ('auto':
+(0.0; >0 = SmoothQuant alpha, nn/quant.py), BENCH_QUANT_CALMODE ('max';
+'p<pct>' = percentile calibration estimator, quant.py),
+BENCH_MESH ('auto':
 when >1 device is visible, run tile-data-parallel over an all-data mesh —
 canvas row-sharded, weights replicated — and report PER-CHIP throughput;
 '0' forces single-device even on a pod slice). On any future v5e-N this
@@ -109,6 +111,7 @@ def main():
         conf.quantize = 'w8a8'
         conf.quantize_min_channels = quant_min_ch
         conf.quantize_smooth_alpha = quant_smooth
+        conf.quantize_cal_mode = os.environ.get('BENCH_QUANT_CALMODE', 'max')
     # BENCH_DEEPCACHE='N' or 'N:D': DeepCache fast sampling (recompute the
     # U-Net deep half every Nth step per parity, cached in between; D = the
     # split stage, default 2). Default 2:2 since chipq q42 measured it at
@@ -253,8 +256,10 @@ def main():
                 'w8a8calt': 'bf16+int8calt'}.get(quant, quant) + depth
         if quant_smooth:
             mode += f'-sm{quant_smooth:g}'
+        if conf.quantize_cal_mode != 'max':
+            mode += f'-{conf.quantize_cal_mode}'
     if conf.deep_cache_interval > 1:
-        # approximate sampling mode — never the headline default
+        # approximate sampling mode — always tagged in the metric name
         mode += f'+dc{conf.deep_cache_interval}.{conf.deep_cache_depth}'
     if use_mesh:
         mode += f' mesh{n_dev}x1'

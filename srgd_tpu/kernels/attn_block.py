@@ -54,6 +54,54 @@ def _kernel(x_ref, g1_ref, wqkv_ref, wout_ref, bout_ref, o_ref,
     o_ref[0] = (out + bout_ref[:]).astype(o_ref.dtype)
 
 
+def _xla_attn_block(x, g1, wqkv, wout, bout, *, heads: int, dim_head: int):
+    """Pure-XLA formulation of the identical whole-block math, differentiated
+    by the custom VJP below (the Pallas kernel computes the same function;
+    the backward recomputes from the primal inputs, remat-style)."""
+    import math
+    b, n, c = x.shape
+    hidden = heads * dim_head
+    cdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    y = (xf / jnp.maximum(norm, 1e-12)
+         * (g1.astype(jnp.float32) * math.sqrt(c))).astype(cdtype)
+    qkv = jnp.einsum('bnc,co->bno', y, wqkv.astype(cdtype),
+                     preferred_element_type=jnp.float32).astype(cdtype)
+    q = qkv[..., :hidden].reshape(b, n, heads, dim_head)
+    k = qkv[..., hidden:2 * hidden].reshape(b, n, heads, dim_head)
+    v = qkv[..., 2 * hidden:].reshape(b, n, heads, dim_head)
+    sim = jnp.einsum('bnhd,bmhd->bhnm', q, k,
+                     preferred_element_type=jnp.float32) * (dim_head ** -0.5)
+    attn = jax.nn.softmax(sim, axis=-1).astype(cdtype)
+    o = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
+                   preferred_element_type=jnp.float32).astype(cdtype)
+    out = jnp.einsum('bnd,dc->bnc', o.reshape(b, n, hidden),
+                     wout.astype(cdtype),
+                     preferred_element_type=jnp.float32)
+    return (out + bout.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_attn(heads, dim_head, interpret, x, g1, wqkv, wout, bout):
+    return _pallas_forward(x, g1, wqkv, wout, bout, heads=heads,
+                           dim_head=dim_head, interpret=interpret)
+
+
+def _fused_attn_fwd(heads, dim_head, interpret, *args):
+    return _fused_attn(heads, dim_head, interpret, *args), args
+
+
+def _fused_attn_bwd(heads, dim_head, interpret, res, ct):
+    _, vjp = jax.vjp(
+        lambda *a: _xla_attn_block(*a, heads=heads, dim_head=dim_head), *res)
+    return vjp(ct)
+
+
+_fused_attn.defvjp(_fused_attn_fwd, _fused_attn_bwd)
+
+
 @functools.partial(jax.jit,
                    static_argnames=('heads', 'dim_head', 'interpret'))
 def fused_attn_block(x, g1, wqkv, wout, bout, *, heads: int = 4,
@@ -61,7 +109,15 @@ def fused_attn_block(x, g1, wqkv, wout, bout, *, heads: int = 4,
     """x: (b, n, c) with n small enough for VMEM (the 32^2 bottleneck).
     g1: (c,) RMSNorm gain; wqkv: (c, 3*heads*dim_head); wout: (hidden, c);
     bout: (c,). Returns (b, n, c) = to_out(SDPA(qkv(RMSNorm(x)))) — the
-    residual add stays with the caller (unet.py)."""
+    residual add stays with the caller (unet.py).
+
+    Differentiable via the custom VJP of ``_xla_attn_block`` (same math),
+    so training can keep the fused kernel on (VERDICT r2 #7)."""
+    return _fused_attn(heads, dim_head, interpret, x, g1, wqkv, wout, bout)
+
+
+def _pallas_forward(x, g1, wqkv, wout, bout, *, heads: int, dim_head: int,
+                    interpret: bool):
     import math
     b, n, c = x.shape
     hidden = heads * dim_head

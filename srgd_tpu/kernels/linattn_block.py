@@ -120,12 +120,89 @@ def _pick_block(n: int, c: int, cap: int = 2048) -> int:
     return bn
 
 
+def _xla_linattn_block(x, g1, wq, wk, wv, wout, bout, g2, *, dim_head: int):
+    """Pure-XLA formulation of the identical whole-block math (mirrors
+    layers.LinearAttention's XLA path over the same raw arrays). This is the
+    function the custom VJP differentiates: the Pallas kernel computes the
+    same mathematical function, so its derivative IS this function's
+    derivative (up to rounding) — JAX recomputes the forward here in the
+    backward pass, which matches the remat_unet training recipe (the block
+    is recomputed in backward anyway)."""
+    b, n, c = x.shape
+    hidden = wq.shape[1]
+    cdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
+    def rms(t, g):
+        tf = t.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(tf * tf, axis=-1, keepdims=True))
+        return tf / jnp.maximum(norm, 1e-12) * (g.astype(jnp.float32)
+                                                * math.sqrt(c))
+
+    y = rms(x, g1).astype(cdtype)
+    q = jnp.einsum('bnc,co->bno', y, wq.astype(cdtype),
+                   preferred_element_type=jnp.float32)
+    k = jnp.einsum('bnc,co->bno', y, wk.astype(cdtype),
+                   preferred_element_type=jnp.float32)
+    v = jnp.einsum('bnc,co->bno', y, wv.astype(cdtype),
+                   preferred_element_type=jnp.float32).astype(cdtype)
+
+    mask = _head_mask(hidden, dim_head).astype(jnp.float32)
+    eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+    denom = jnp.einsum('bnd,de->bne', eq, mask,
+                       preferred_element_type=jnp.float32)
+    qn = (eq / denom * (dim_head ** -0.5)).astype(cdtype)
+
+    ek = jnp.exp(k - jnp.max(k, axis=1, keepdims=True))    # softmax over n
+    kn = (ek / jnp.sum(ek, axis=1, keepdims=True)).astype(cdtype)
+
+    ctx = jnp.einsum('bnd,bne->bde', kn, v,
+                     preferred_element_type=jnp.float32)
+    ctx = (ctx * mask[None]).astype(cdtype)
+    out = jnp.einsum('bnd,bde->bne', qn, ctx,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum('bnd,dc->bnc', out.astype(cdtype), wout.astype(cdtype),
+                     preferred_element_type=jnp.float32)
+    out = out + bout.astype(jnp.float32)
+    return rms(out, g2).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_linattn(dim_head, interpret, x, g1, wq, wk, wv, wout, bout, g2):
+    return _pallas_forward(x, g1, wq, wk, wv, wout, bout, g2,
+                           dim_head=dim_head, interpret=interpret)
+
+
+def _fused_linattn_fwd(dim_head, interpret, *args):
+    # residuals = the primal inputs; the backward recomputes everything
+    # (remat-style) through the XLA formulation's VJP
+    return _fused_linattn(dim_head, interpret, *args), args
+
+
+def _fused_linattn_bwd(dim_head, interpret, res, ct):
+    _, vjp = jax.vjp(
+        lambda *a: _xla_linattn_block(*a, dim_head=dim_head), *res)
+    return vjp(ct)
+
+
+_fused_linattn.defvjp(_fused_linattn_fwd, _fused_linattn_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=('dim_head', 'interpret'))
 def fused_linattn_block(x, g1, wq, wk, wv, wout, bout, g2, *,
                         dim_head: int = 32, interpret: bool = False):
     """x: (b, n, c). g1/g2: (c,) RMSNorm gains. wq/wk/wv: (c, hidden).
     wout: (hidden, c), bout: (c,). Returns (b, n, c) — the full
-    LinearAttention output (residual add stays with the caller)."""
+    LinearAttention output (residual add stays with the caller).
+
+    Differentiable: the Pallas kernel runs the forward; the backward is the
+    VJP of ``_xla_linattn_block`` (same math), so training can keep the
+    fused kernel on (VERDICT r2 #7)."""
+    return _fused_linattn(dim_head, interpret, x, g1, wq, wk, wv, wout,
+                          bout, g2)
+
+
+def _pallas_forward(x, g1, wq, wk, wv, wout, bout, g2, *,
+                    dim_head: int, interpret: bool):
     b, n, c = x.shape
     hidden = wq.shape[1]
     cdtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32

@@ -277,9 +277,10 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
             'val_realsrv3/val_drealsr require the RealSR-V3/DRealSR '
             'benchmark datasets, which cannot be downloaded here; place a '
             'local copy and point --val_dir at it instead')
-    # the fused linear-attention kernel has no Pallas autodiff path; the XLA
-    # formulation is mathematically identical and differentiable
-    conf.fused_linattn = False
+    # the fused whole-block kernels are differentiable since round 3 via
+    # custom VJPs (kernels/{linattn,attn}_block.py: Pallas forward, XLA-
+    # formulation backward — a remat-style recompute that matches the
+    # remat_unet recipe), so training keeps conf.fused_linattn as configured
     if conf.amp and conf.compute_dtype == 'float32':
         # the reference trainer autocasts under amp/amp_dtype; the TPU
         # analog is bfloat16 compute over f32 master params (no loss

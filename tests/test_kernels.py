@@ -180,3 +180,126 @@ def test_fused_mesh_indivisible_batch_falls_back(monkeypatch):
         got = jax.jit(mod.apply)(params, xs)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Fused-block training path (custom VJP; VERDICT r2 #7)
+# ---------------------------------------------------------------------------
+
+def test_fused_linattn_block_grad_matches_xla():
+    """The fused block's custom VJP must equal the XLA formulation's
+    gradients at f32 (atol 1e-4), and the VJP target function itself must
+    match the module's XLA path (else the backward would be the derivative
+    of the wrong math)."""
+    from srgd_tpu.kernels.linattn_block import (_xla_linattn_block,
+                                                fused_linattn_block)
+    from srgd_tpu.nn.layers import LinearAttention
+
+    b, hh, ww, c = 2, 16, 16, 128
+    n = hh * ww
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, hh, ww, c), jnp.float32)
+    mod = LinearAttention(c, dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    p = params['params']
+    wqkv = p['to_qkv']['kernel'][0, 0]
+    args = (x.reshape(b, n, c), p['norm']['g'],
+            wqkv[:, :128], wqkv[:, 128:256], wqkv[:, 256:],
+            p['to_out']['kernel'][0, 0], p['to_out']['bias'],
+            p['out_norm']['g'])
+
+    want = mod.apply(params, x)                       # module XLA path (CPU)
+    xla_out = _xla_linattn_block(*args, dim_head=32).reshape(b, hh, ww, c)
+    np.testing.assert_allclose(np.asarray(xla_out), np.asarray(want),
+                               atol=1e-5)
+
+    ct = jax.random.normal(jax.random.PRNGKey(2), (b, n, c), jnp.float32)
+    f_fused = lambda *a: jnp.sum(
+        fused_linattn_block(*a, dim_head=32, interpret=True) * ct)
+    f_xla = lambda *a: jnp.sum(_xla_linattn_block(*a, dim_head=32) * ct)
+    g_fused = jax.grad(f_fused, argnums=tuple(range(8)))(*args)
+    g_xla = jax.grad(f_xla, argnums=tuple(range(8)))(*args)
+    for gf, gx in zip(g_fused, g_xla):
+        # rtol absorbs jit-vs-eager reassociation on O(100) grad entries
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_fused_attn_block_grad_matches_xla():
+    """Same contract for the full-attention fused block."""
+    from srgd_tpu.kernels.attn_block import (_xla_attn_block,
+                                             fused_attn_block)
+    from srgd_tpu.nn.layers import Attention
+
+    b, hh, ww, c = 2, 8, 8, 128
+    n = hh * ww
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, hh, ww, c), jnp.float32)
+    mod = Attention(c, dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    p = params['params']
+    args = (x.reshape(b, n, c), p['norm']['g'],
+            p['to_qkv']['kernel'][0, 0], p['to_out']['kernel'][0, 0],
+            p['to_out']['bias'])
+
+    want = mod.apply(params, x)
+    xla_out = _xla_attn_block(*args, heads=4, dim_head=32
+                              ).reshape(b, hh, ww, c)
+    np.testing.assert_allclose(np.asarray(xla_out), np.asarray(want),
+                               atol=1e-5)
+
+    ct = jax.random.normal(jax.random.PRNGKey(2), (b, n, c), jnp.float32)
+    f_fused = lambda *a: jnp.sum(fused_attn_block(
+        *a, heads=4, dim_head=32, interpret=True) * ct)
+    f_xla = lambda *a: jnp.sum(_xla_attn_block(*a, heads=4, dim_head=32) * ct)
+    g_fused = jax.grad(f_fused, argnums=tuple(range(5)))(*args)
+    g_xla = jax.grad(f_xla, argnums=tuple(range(5)))(*args)
+    for gf, gx in zip(g_fused, g_xla):
+        # rtol absorbs jit-vs-eager reassociation on O(100) grad entries
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_fused_module_grads_match_xla_path(monkeypatch):
+    """Module-level: loss gradients through LinearAttention/Attention with
+    the fused kernels on (interpret) == the XLA path, f32 atol 1e-4 —
+    training no longer needs fused_linattn=False."""
+    import functools
+    from srgd_tpu.kernels import attn_block, linattn_block
+    from srgd_tpu.nn import layers
+
+    monkeypatch.setattr(layers, '_pallas_backend_ok', lambda: True)
+    monkeypatch.setattr(layers, '_use_fused_linattn',
+                        lambda n, hidden, dtype: n % 128 == 0
+                        and hidden % 128 == 0)
+    monkeypatch.setattr(
+        linattn_block, 'fused_linattn_block',
+        functools.partial(linattn_block.fused_linattn_block, interpret=True))
+    monkeypatch.setattr(
+        attn_block, 'fused_attn_block',
+        functools.partial(attn_block.fused_attn_block, interpret=True))
+
+    for Mod, hw in ((layers.LinearAttention, 16), (layers.Attention, 8)):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, hw, hw, 128),
+                              jnp.float32)
+        params = Mod(dim=128, dtype=jnp.float32,
+                     fused=False).init(jax.random.PRNGKey(1), x)
+        ct = jax.random.normal(jax.random.PRNGKey(2), (2, hw, hw, 128),
+                               jnp.float32)
+
+        def loss(fused):
+            # random cotangent, NOT sum-of-squares: post-RMSNorm squared
+            # losses make upstream grads cancel to ~1e-5 of their natural
+            # scale, where fwd rounding dominates and the comparison is
+            # meaningless
+            mod = Mod(dim=128, dtype=jnp.float32, fused=fused)
+            return lambda p, xx: jnp.sum(mod.apply(p, xx) * ct)
+
+        gp_f, gx_f = jax.jit(jax.grad(loss(True), argnums=(0, 1)))(params, x)
+        gp_x, gx_x = jax.jit(jax.grad(loss(False), argnums=(0, 1)))(params, x)
+        # Attention's fused gate needs bf16; for f32 it falls through to
+        # XLA — the monkeypatched linattn gate covers the fused grad there.
+        for a, b_ in zip(jax.tree.leaves((gp_f, gx_f)),
+                         jax.tree.leaves((gp_x, gx_x))):
+            # rtol absorbs op-ordering drift between the two backward
+            # programs on O(1e3) accumulated grads
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-4)
