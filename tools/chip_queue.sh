@@ -133,6 +133,19 @@ else
     echo "[chipq] q42: trained checkpoint missing (run tools/evidence_retrain.sh) — skipping"
 fi
 
+# q70/q72: percentile calibration estimator at >=256ch (VERDICT r2 #9 chip
+# half — the estimator landed with CPU tests only). Decider first: the
+# known-bad 42/43 draw, where running-max cal measured 46.03 dB. Promote
+# >=256ch calibrated if a percentile clears ~50 dB on it.
+run_item q70_ladder256_pct_badseed 4800 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+    QP_QMIN=256 QP_WSEED=42 QP_CSEED=43 \
+    QP_MODES='float32,w8a8,w8a8%p99.9,w8a8%p99.5,w8a8%p99' \
+    python tools/quality_probe.py
+run_item q72_ladder256_pct 4800 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+    QP_QMIN=256 \
+    QP_MODES='float32,w8a8,w8a8%p99.9,w8a8%p99.5,w8a8%p99' \
+    python tools/quality_probe.py
+
 # q40: per-time at the shipping >=512ch coverage (quality headroom check)
 recorded_item q40_ladder512_pertime 2400 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_QMIN=512 QP_MODES='float32,w8a8,w8a8t' \
