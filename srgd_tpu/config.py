@@ -230,8 +230,9 @@ class Config:
     mesh_shape: str = ''              # e.g. '4,2' -> (data, model); '' = all-data
     remat_unet: bool = False          # jax.checkpoint the U-Net stages (training)
     tile_size: int = 256
-    tile_stride: int = 0              # 0 = tile_size (the only reference-
-                                      # reachable value; others raise)
+    tile_stride: int = 0              # 0 = tile_size; smaller values overlap
+                                      # the shifted grid (last-write-wins,
+                                      # PARITY divergence #3); > tile_size raises
     continuous_sampler: str = 'ancestral'  # | 'ddim' (eta=ddim_eta updates)
                                       # | 'dpmpp' (DPM-Solver++(2M) multistep)
                                       # for the continuous family — additive

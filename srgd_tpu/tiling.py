@@ -12,7 +12,22 @@ reshape on a statically-sliced interior). No dynamic slicing in the hot loop.
 
 Padded canvases are always exact multiples of ``tile_size`` (see
 ``pad_geometry``), so with ``tile_stride == tile_size`` — the only configuration
-the reference CLI ever exercises — both grids are exact and remainder-free.
+the reference CLI ever exercises — both grids are exact and remainder-free and
+tile gather/scatter is pure reshape.
+
+``tile_stride < tile_size`` (reference library surface, model.py:3288) only
+changes the ODD grid: the reference always builds the even grid with
+``stride == tile_size`` (model.py:3329) and strides only the shifted interior
+grid (model.py:3333), whose tiles then overlap and are written back
+sequentially in row-major order — last write wins (model.py:3378-3381).
+Here the overlapping grid keeps a static coordinate list in the geometry and
+scatters with ordered ``.at[].set`` updates, reproducing the row-major
+last-write-wins result. One deliberate divergence (docs/PARITY.md #3): the
+reference gathers/scatters in ``batch_size``-sized chunks, so a tile in a
+later chunk reads overlap pixels already rewritten by an earlier chunk —
+output depends on ``batch_size``. We gather every tile from the step's input
+canvas first (equivalent to reference ``batch_size >= n_tiles``), keeping
+results chunk-invariant and the forwards batchable.
 """
 
 from __future__ import annotations
@@ -80,6 +95,11 @@ class TileGeometry:
     interior: tuple          # (top, left, bottom, right) covered by the odd grid
     grid_even: tuple         # (gh, gw) tiles on even steps
     grid_odd: tuple          # (gh, gw) tiles on odd steps (interior grid)
+    # Overlapping odd grid (tile_stride < tile_size): static (hs, he, ws, we)
+    # coordinates in the padded-canvas frame, row-major (= reference write
+    # order). None means the stride equals the tile size and the odd grid is
+    # the remainder-free reshape grid above.
+    coords_odd: tuple | None = None
 
     @property
     def n_tiles_even(self) -> int:
@@ -87,6 +107,8 @@ class TileGeometry:
 
     @property
     def n_tiles_odd(self) -> int:
+        if self.coords_odd is not None:
+            return len(self.coords_odd)
         return self.grid_odd[0] * self.grid_odd[1]
 
     @property
@@ -100,14 +122,18 @@ def make_geometry(height: int, width: int, tile_size: int = 256,
     """Build the full static geometry for an input of size (height, width).
 
     Mirrors the precomputation at /root/reference/model.py:3301-3342 but keeps
-    everything as compile-time constants. Only ``tile_stride == tile_size`` is
-    supported (the reference default and the only value its CLI can produce).
+    everything as compile-time constants. ``tile_stride`` strides only the
+    shifted interior grid (the reference builds the aligned grid with
+    ``stride == tile_size`` unconditionally, model.py:3329-3333); strides
+    below the tile size make that grid overlap (see module docstring).
     """
     tile_stride = tile_size if tile_stride is None else tile_stride
-    if tile_stride != tile_size:
-        raise NotImplementedError(
-            'tile_stride != tile_size is not supported (the reference CLI never '
-            'exercises it; overlapping shifted grids need last-write-wins scatter)')
+    if not 0 < tile_stride <= tile_size:
+        # stride > tile_size leaves inter-tile gaps the odd step never
+        # denoises (the reference would emit raw-noise bands); reject early.
+        raise ValueError(
+            f'tile_stride must be in [1, tile_size]; got {tile_stride} '
+            f'(tile_size {tile_size})')
 
     coord, pad = pad_geometry(height, width, tile_size)
     padded_h = height + pad[2] + pad[3]
@@ -117,14 +143,23 @@ def make_geometry(height: int, width: int, tile_size: int = 256,
 
     gh, gw = padded_h // tile_size, padded_w // tile_size
 
+    coords_odd = None
     if padded_h <= tile_size and padded_w <= tile_size:
+        # single-tile canvas: the reference's coords1 is the same lone tile
+        # for every stride (model.py:3330-3331)
         interior = (0, 0, padded_h, padded_w)
         grid_odd = (gh, gw)
     else:
-        # shifted grid covers [ts/2, padded - ts/2) in each dim
+        # shifted grid covers [ts/2, padded - ts/2) in each dim — the
+        # remainder tile in grid_coords pins the far edge, so the interior
+        # bounds are stride-independent (model.py:3333-3342 via get_area)
         half = tile_size // 2
         interior = (half, half, padded_h - half, padded_w - half)
         grid_odd = (gh - 1, gw - 1)
+        if tile_stride != tile_size:
+            coords_odd = tuple(grid_coords(
+                padded_h - tile_size, padded_w - tile_size,
+                tile_size, tile_stride, diff=half))
 
     return TileGeometry(
         height=height, width=width,
@@ -133,6 +168,7 @@ def make_geometry(height: int, width: int, tile_size: int = 256,
         crop=coord, pad=pad,
         interior=interior,
         grid_even=(gh, gw), grid_odd=grid_odd,
+        coords_odd=coords_odd,
     )
 
 
@@ -160,9 +196,17 @@ def tiles_to_space(tiles: jnp.ndarray, batch: int, h: int, w: int) -> jnp.ndarra
 
 def extract_tiles(x: jnp.ndarray, geom: TileGeometry, parity: int) -> jnp.ndarray:
     """Gather the step's tile batch from the canvas. parity 0 = aligned grid,
-    parity 1 = shifted (interior) grid."""
+    parity 1 = shifted (interior) grid. Tile order is batch-major then
+    row-major over the grid — the reference's write order."""
     if parity == 0:
         return space_to_tiles(x, geom.tile_size)
+    if geom.coords_odd is not None:
+        # overlapping shifted grid: static coords -> plain slices; every tile
+        # reads the step's INPUT canvas (chunk-invariant, see module docstring)
+        b = x.shape[0]
+        ts, c = geom.tile_size, x.shape[-1]
+        slabs = [x[:, hs:he, ws:we, :] for hs, he, ws, we in geom.coords_odd]
+        return jnp.stack(slabs, axis=1).reshape(b * len(slabs), ts, ts, c)
     it, il, ib, ir = geom.interior
     return space_to_tiles(x[:, it:ib, il:ir, :], geom.tile_size)
 
@@ -170,10 +214,19 @@ def extract_tiles(x: jnp.ndarray, geom: TileGeometry, parity: int) -> jnp.ndarra
 def scatter_tiles(canvas: jnp.ndarray, tiles: jnp.ndarray, geom: TileGeometry,
                   parity: int) -> jnp.ndarray:
     """Scatter the step's tile batch back onto the canvas (margin untouched
-    for the shifted grid, as in the reference)."""
+    for the shifted grid, as in the reference). Overlapping shifted tiles are
+    written in row-major order — last write wins, matching the reference's
+    sequential writeback (/root/reference/model.py:3378-3381)."""
     b = canvas.shape[0]
     if parity == 0:
         return tiles_to_space(tiles, b, geom.padded_h, geom.padded_w)
+    if geom.coords_odd is not None:
+        n = len(geom.coords_odd)
+        ts, c = geom.tile_size, canvas.shape[-1]
+        per_img = tiles.reshape(b, n, ts, ts, c)
+        for i, (hs, he, ws, we) in enumerate(geom.coords_odd):
+            canvas = canvas.at[:, hs:he, ws:we, :].set(per_img[:, i])
+        return canvas
     it, il, ib, ir = geom.interior
     interior = tiles_to_space(tiles, b, ib - it, ir - il)
     return canvas.at[:, it:ib, il:ir, :].set(interior)

@@ -170,6 +170,24 @@ def test_tiled_chunk_invariance():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out30), atol=1e-5)
 
 
+def test_tiled_overlap_stride():
+    """Overlapping shifted grid (tile_stride < tile_size): chunk-invariant
+    and host_loop == scan (PARITY divergence #3). With a remainder row:
+    padded 160x192 interior 128x160, stride 24 -> hi [0,24,48,72,96(rem)]."""
+    d = make_diff(num_sample_steps=4)
+    rng = jax.random.PRNGKey(13)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(14), (1, 80, 100, 3))
+    kw = dict(tile_size=32, tile_stride=24)
+    out8 = d.tiled_sample({}, rng, cond01, batch_size=8, **kw)
+    assert out8.shape == (1, 80, 100, 3)
+    o = np.asarray(out8)
+    assert np.all(o >= 0) and np.all(o <= 1)
+    out3 = d.tiled_sample({}, rng, cond01, batch_size=3, **kw)
+    np.testing.assert_allclose(np.asarray(out3), o, atol=1e-5)
+    outh = d.tiled_sample({}, rng, cond01, batch_size=8, host_loop=True, **kw)
+    np.testing.assert_array_equal(np.asarray(outh), np.asarray(out8))
+
+
 def test_tiled_with_class_and_cfg():
     d = make_diff(num_sample_steps=4)
     rng = jax.random.PRNGKey(15)

@@ -111,6 +111,22 @@ def test_tiled_heun():
     np.testing.assert_allclose(np.asarray(out1), o, atol=1e-5)
 
 
+def test_tiled_heun_overlap_stride():
+    """Overlapping shifted grid (tile_stride < tile_size) through the EDM
+    tiled Heun sampler; chunk-invariant (PARITY divergence #3)."""
+    d = make_diff(num_sample_steps=4)
+    rng = jax.random.PRNGKey(5)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(6), (1, 80, 100, 3))
+    out = d.tiled_sample({}, rng, cond01, tile_size=32, tile_stride=16,
+                         batch_size=8)
+    assert out.shape == (1, 80, 100, 3)
+    o = np.asarray(out)
+    assert np.all(o >= 0) and np.all(o <= 1)
+    out1 = d.tiled_sample({}, rng, cond01, tile_size=32, tile_stride=16,
+                          batch_size=3)
+    np.testing.assert_allclose(np.asarray(out1), o, atol=1e-5)
+
+
 def test_tiled_with_class_cfg():
     d = make_diff(num_sample_steps=4)
     rng = jax.random.PRNGKey(7)

@@ -141,6 +141,22 @@ def test_tiled_ddim():
     np.testing.assert_allclose(np.asarray(out1), o, atol=1e-5)
 
 
+def test_tiled_ddim_overlap_stride():
+    """tile_stride < tile_size: overlapping shifted grid, chunk-invariant
+    by design (PARITY divergence #3 — gather-all, last-write-wins)."""
+    d = make_diff()
+    rng = jax.random.PRNGKey(9)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(10), (1, 80, 100, 3))
+    out = d.tiled_sample({}, rng, cond01, tile_size=32, tile_stride=16,
+                         batch_size=8)
+    assert out.shape == (1, 80, 100, 3)
+    o = np.asarray(out)
+    assert np.all(o >= 0) and np.all(o <= 1)
+    out1 = d.tiled_sample({}, rng, cond01, tile_size=32, tile_stride=16,
+                          batch_size=3)
+    np.testing.assert_allclose(np.asarray(out1), o, atol=1e-5)
+
+
 def test_tiled_with_cfg_and_label():
     d = make_diff()
     rng = jax.random.PRNGKey(11)

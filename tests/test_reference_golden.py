@@ -237,6 +237,68 @@ def test_reference_continuous_tiled_golden():
     _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))
 
 
+def test_reference_continuous_tiled_overlap_stride_golden():
+    """Overlapping odd grid (tile_stride < tile_size) vs the reference's own
+    tiled_sample (model.py:3288-3413 at tile_stride=128): 3x3 overlapping
+    shifted tiles, row-major last-write-wins.
+
+    batch_size=9 >= n_tiles so the reference runs exactly one minibatch per
+    grid: this is the configuration srgd-tpu's chunk-invariant semantics
+    matches bit-for-bit (the reference's sub-batch writeback makes overlap
+    output depend on batch_size — documented divergence, docs/PARITY.md #3)."""
+    ref = ref_model()
+    n_steps = 2
+    tile, stride, bs = 256, 128, 9
+    tdiff, jdiff, params = _build_continuous_pair(
+        n_steps=n_steps, full_attn=(False, False), attn_heads=1,
+        attn_dim_head=8)
+
+    h = w = 300                       # 768px canvas, 3x3 even grid
+    gen = np.random.default_rng(3)
+    cond01 = gen.uniform(size=(1, h, w, 3)).astype(np.float32)
+    label = np.asarray([1])
+
+    rng0 = jax.random.PRNGKey(23)
+    rng1, init_key = jax.random.split(rng0)
+    canvas = (1, 768, 768, 3)
+    init_noise = np.asarray(jax.random.normal(init_key, canvas, jnp.float32))
+    step_noise, margin_noise = {}, {}
+    for i in range(n_steps):
+        key_t, key_m = jax.random.split(jax.random.fold_in(rng1, i))
+        step_noise[i] = np.asarray(jax.random.normal(key_t, canvas,
+                                                     jnp.float32))
+        margin_noise[i] = np.asarray(jax.random.normal(key_m, canvas,
+                                                       jnp.float32))
+
+    ours = jdiff.tiled_sample(params, rng0, jnp.asarray(cond01),
+                              jnp.asarray(label), tile_size=tile,
+                              tile_stride=stride, batch_size=bs)
+
+    coords0 = ref.get_coords(768, 768, tile, tile, diff=0)
+    coords1 = ref.get_coords(768 - tile, 768 - tile, tile, stride,
+                             diff=tile // 2)
+    assert len(coords1) == 9          # 3x3 overlapping interior grid
+    queue = [nchw(init_noise)]
+    for i in range(n_steps):
+        coords = coords0 if i % 2 == 0 else coords1
+        if i != n_steps - 1:
+            for j in range(0, len(coords), bs):
+                chunk = coords[j:j + bs]
+                arr = np.stack([step_noise[i][0, hs:he, ws:we, :]
+                                for (hs, he, ws, we) in chunk])
+                queue.append(nchw(arr))
+        if i % 2 == 1:
+            queue.append(nchw(margin_noise[i]))
+
+    with torch.no_grad(), _ReplayNoise(queue) as replay:
+        theirs = tdiff.tiled_sample(
+            batch_size=bs, tile_size=tile, tile_stride=stride,
+            condition_x=torch.as_tensor(nchw(cond01)),
+            class_label=torch.as_tensor(label))
+        assert not replay.queue
+    _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))
+
+
 def test_reference_gaussian_ddim_golden():
     """srgd-tpu DDIM vs the reference's own ddim_sample (model.py:1565-1641;
     eta=0 deterministic — only the init noise enters the output)."""

@@ -148,6 +148,68 @@ def test_zero_margin():
     assert np.all(out[:, :, :il] == 0) and np.all(out[:, :, ir:] == 0)
 
 
-def test_stride_not_supported():
-    with pytest.raises(NotImplementedError):
-        make_geometry(700, 700, 256, tile_stride=128)
+def test_stride_bounds():
+    with pytest.raises(ValueError):
+        make_geometry(700, 700, 256, tile_stride=0)
+    with pytest.raises(ValueError):
+        # stride > tile_size leaves never-denoised gaps in the odd grid
+        make_geometry(700, 700, 256, tile_stride=384)
+
+
+def test_stride_geometry_matches_reference_coords():
+    """Overlapping odd grid = reference get_coords(h-ts, w-ts, ts, stride,
+    diff=ts/2) (model.py:3333), incl. the remainder tile; even grid and
+    interior bounds are stride-independent (model.py:3329, get_area)."""
+    for h, w, stride in [(700, 700, 128), (700, 1000, 96), (300, 300, 160)]:
+        g = make_geometry(h, w, 256, tile_stride=stride)
+        g_full = make_geometry(h, w, 256)
+        assert g.grid_even == g_full.grid_even
+        assert g.interior == g_full.interior
+        expect = grid_coords(g.padded_h - 256, g.padded_w - 256, 256,
+                             stride, diff=128)
+        assert list(g.coords_odd) == expect
+        assert g.n_tiles_odd == len(expect)
+        # every coord inside the interior, far edges pinned by the remainder
+        it, il, ib, ir = g.interior
+        assert min(c[0] for c in g.coords_odd) == it
+        assert max(c[1] for c in g.coords_odd) == ib
+        assert min(c[2] for c in g.coords_odd) == il
+        assert max(c[3] for c in g.coords_odd) == ir
+    # stride == tile_size keeps the remainder-free reshape grid
+    assert make_geometry(700, 700, 256, tile_stride=256).coords_odd is None
+    # single-tile canvas: stride is irrelevant (model.py:3330-3331)
+    g1 = make_geometry(200, 200, 256, tile_stride=64)
+    assert g1.coords_odd is None and g1.n_tiles_odd == 1
+
+
+def test_stride_scatter_inverse_of_extract():
+    """With overlap, scatter(extract(x)) == x on the interior: each pixel's
+    last-writing tile read it from the same canvas."""
+    g = make_geometry(700, 700, 256, tile_stride=128)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, g.padded_h, g.padded_w, 3))
+                    .astype(np.float32))
+    tiles = extract_tiles(x, g, parity=1)
+    assert tiles.shape == (2 * g.n_tiles_odd, 256, 256, 3)
+    out = np.asarray(scatter_tiles(x, tiles, g, parity=1))
+    np.testing.assert_array_equal(out, np.asarray(x))
+
+
+def test_stride_scatter_last_write_wins():
+    """Row-major ordered writes: overlap pixels hold the LATER tile's value,
+    matching the reference's sequential writeback (model.py:3378-3381)."""
+    g = make_geometry(700, 700, 256, tile_stride=128)
+    n = g.n_tiles_odd
+    canvas = jnp.full((1, g.padded_h, g.padded_w, 1), -1.0, jnp.float32)
+    tiles = jnp.broadcast_to(
+        jnp.arange(1, n + 1, dtype=jnp.float32)[:, None, None, None],
+        (n, 256, 256, 1))
+    out = np.asarray(scatter_tiles(canvas, tiles, g, parity=1))[0, :, :, 0]
+    # emulate the write order on the host
+    expect = np.full((g.padded_h, g.padded_w), -1.0, np.float32)
+    for i, (hs, he, ws, we) in enumerate(g.coords_odd):
+        expect[hs:he, ws:we] = i + 1
+    np.testing.assert_array_equal(out, expect)
+    # margin untouched
+    it, il, ib, ir = g.interior
+    assert np.all(out[:it] == -1) and np.all(out[:, :il] == -1)
