@@ -143,6 +143,27 @@ def test_tiled_cached_matches_band_and_interval1_exact(host_loop):
     assert _psnr(exact, approx) > 15.0   # same trajectory family, not junk
 
 
+def test_tiled_overlap_stride_cached():
+    """DeepCache x overlapping stride: the per-parity cache stacks follow the
+    odd grid's coordinate tile count. interval=1 == exact bitwise through the
+    overlap gather/scatter; interval=2 runs and stays in band."""
+    conf = _conf3()
+    w_off, params = _wrapped(conf)
+    w_1 = build_wrapper(_conf3(deep_cache_interval=1), w_off.net)
+    w_2 = build_wrapper(_conf3(deep_cache_interval=2, deep_cache_depth=2),
+                        w_off.net)
+    rng = jax.random.PRNGKey(9)
+    cond = jax.random.uniform(jax.random.PRNGKey(10), (1, 24, 24, 3))
+    lb = jnp.zeros((1,), jnp.int32)
+    kw = dict(tile_size=16, tile_stride=8, batch_size=2, num_sample_steps=6)
+    exact = w_off.tiled_sample(params, rng, cond, lb, **kw)
+    one = w_1.tiled_sample(params, rng, cond, lb, **kw)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(one))
+    approx = w_2.tiled_sample(params, rng, cond, lb, **kw)
+    assert np.isfinite(np.asarray(approx)).all()
+    assert _psnr(exact, approx) > 15.0
+
+
 def test_tiled_host_loop_matches_scan_at_interval3():
     conf = _conf3(deep_cache_interval=3, deep_cache_depth=1)
     w, params = _wrapped(conf)
