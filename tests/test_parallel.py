@@ -102,6 +102,28 @@ def test_sharded_tiled_inference_matches_single_device():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_sharded_tiled_inference_overlap_stride():
+    """Overlapping shifted grid under the tile-DP mesh: the coordinate-slice
+    gather and ordered last-write-wins scatter must survive GSPMD (halo
+    exchanges on the row-sharded canvas) and equal single-device output."""
+    from srgd_tpu.diffusion.continuous import ContinuousDiffusion
+    from tests.test_continuous import FakeNet
+
+    d = ContinuousDiffusion(net=FakeNet(), image_size=32, num_sample_steps=4)
+    rng = jax.random.PRNGKey(7)
+    cond01 = jax.random.uniform(jax.random.PRNGKey(8), (1, 120, 120, 3))
+
+    fn = lambda c: d.tiled_sample({}, rng, c, tile_size=32, tile_stride=16,
+                                  batch_size=10 ** 9)
+    want = np.asarray(jax.jit(fn)(cond01))
+
+    mesh = make_mesh((8, 1))
+    cond_sharded = jax.device_put(cond01, canvas_sharding(mesh))
+    with mesh:
+        got = np.asarray(jax.jit(fn)(cond_sharded))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_sharded_tiled_inference_real_net():
     """Same check with a real SRUnet: exercises GSPMD through convs,
     attention, and the tile reshapes (not just the FakeNet arithmetic)."""
