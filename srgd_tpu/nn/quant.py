@@ -51,7 +51,10 @@ def _cal_amax(xf, mode):
     'max': exact amax (running-max calibration, the crude baseline).
     'p<pct>': the |x| percentile, e.g. 'p99.9' — activation values above it
     clip at apply time, spending the int8 grid on the bulk instead of the
-    outlier tail (the >=256ch bad-draw failure mode, docs/PERF.md).
+    outlier tail. MEASURED NEGATIVE on the flagship (chipq q70, docs/PERF.md
+    "did NOT work"): on the known-bad >=256ch draw it degrades monotonically
+    with clipping (max 46.03 / p99.9 42.60 / p99.5 38.01 / p99 32.14 dB) —
+    the activation tails carry signal in this net. Kept as an opt-in knob.
 
     An elementwise-MSE grid search over clip points was tried and removed:
     at int8 granularity (127 levels) the rounding-error gain from clipping

@@ -134,14 +134,15 @@ else
 fi
 
 # q70/q72: percentile calibration estimator at >=256ch (VERDICT r2 #9 chip
-# half — the estimator landed with CPU tests only). Decider first: the
-# known-bad 42/43 draw, where running-max cal measured 46.03 dB. Promote
-# >=256ch calibrated if a percentile clears ~50 dB on it.
-run_item q70_ladder256_pct_badseed 4800 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+# half). RESOLVED round 7 — pinned negative: on the decider 42/43 draw,
+# running-max 46.03 / p99.9 42.60 / p99.5 38.01 / p99 32.14 dB
+# (monotonically worse with clipping; docs/PERF.md "did NOT work").
+# q72 was skipped as unable to change the verdict.
+recorded_item q70_ladder256_pct_badseed 4800 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_QMIN=256 QP_WSEED=42 QP_CSEED=43 \
     QP_MODES='float32,w8a8,w8a8%p99.9,w8a8%p99.5,w8a8%p99' \
     python tools/quality_probe.py
-run_item q72_ladder256_pct 4800 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
+recorded_item q72_ladder256_pct 4800 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_QMIN=256 \
     QP_MODES='float32,w8a8,w8a8%p99.9,w8a8%p99.5,w8a8%p99' \
     python tools/quality_probe.py
