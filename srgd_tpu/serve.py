@@ -83,6 +83,15 @@ def parse_args(argv=None):
     # sampling knobs (same semantics as srgd_tpu.infer)
     p.add_argument('--batch_size', type=int, default=8)
     p.add_argument('--num_sample_steps', type=int, default=250)
+    p.add_argument('--continuous_sampler', type=str, default=None,
+                   choices=[None, 'ancestral', 'ddim', 'dpmpp'],
+                   help='override the continuous-family sampler (see '
+                        'infer.py; the measured fast profile is ddim with '
+                        '--ddim_eta 1.0 --num_sample_steps 25, docs/SERVING.md '
+                        'knob 5)')
+    p.add_argument('--ddim_eta', type=float, default=None,
+                   help="stochasticity of --continuous_sampler ddim "
+                        "(0 = deterministic, 1 = ancestral-equivalent)")
     p.add_argument('--tile_size', type=int, default=256)
     p.add_argument('--cond_scale', type=float, default=1.0)
     p.add_argument('--class_cond_scale', type=float, default=1.0)

@@ -302,6 +302,33 @@ def test_server_int8_precision(tmp_path):
     assert srv.model_info['precision'] == 'int8'
 
 
+def test_server_fast_sampler_flags(tmp_path):
+    """--continuous_sampler/--ddim_eta reach the wrapper (the documented
+    eta-DDIM fast profile must be selectable from the daemon CLI)."""
+    conf = tmp_path / 'tiny.yaml'
+    conf.write_text(
+        'model: conditional_continuous\n'
+        'unet_dim: 8\n'
+        "ddpm_unet_dim_mults: '1,2'\n"
+        "full_attn: 'False,True'\n"
+        'learned_sinusoidal_cond: true\n'
+        'learned_sinusoidal_dim: 8\n'
+        'num_classes: 3\n'
+        'image_size: 16\n')
+    args = parse_args([
+        '-c', str(conf), '-m', '', '--mode', 'http',
+        '--num_sample_steps', '4', '--tile_size', '16', '--batch_size', '2',
+        '--lr_bucket', '8', '--test_label', '0', '--precision', 'fp32',
+        '--continuous_sampler', 'ddim', '--ddim_eta', '1.0'])
+    srv = Server(args)
+    assert srv.sampler.wrapper.sampler == 'ddim'
+    assert srv.sampler.wrapper.ddim_eta == 1.0
+    img = Image.fromarray(
+        (np.random.RandomState(2).rand(6, 6, 3) * 255).astype(np.uint8))
+    out = srv.super_resolve(img)
+    assert out.size == (24, 24)
+
+
 def test_http_endpoints(server):
     server.args.port = 0
     httpd = server.make_http_server()
