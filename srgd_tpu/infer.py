@@ -85,7 +85,8 @@ def parse_args(argv=None):
                    help="with --quant_calibrate: per-call scale estimator "
                         "the running max aggregates — 'max' (amax) or "
                         "'p<pct>' (|x| percentile, e.g. p99.9: clips the "
-                        "outlier tail; nn/quant.py _cal_amax)")
+                        "outlier tail — measured WORSE than max at flagship "
+                        "shapes, the tails carry signal; docs/PERF.md)")
     p.add_argument('--quant_calibrate', action='store_true',
                    help='with --precision int8: record static activation '
                         'scales once (PTQ calibration) instead of per-call '
