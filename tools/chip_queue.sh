@@ -12,16 +12,17 @@
 #         CHIPQ_FORCE=1 ... # re-measure items already recorded in docs
 #
 # Measured-and-recorded items (q10-q40 per-time calibration ladders,
-# q32-q39 DeepCache, q60 bench reconfirm — all in docs/PERF.md) are
-# skipped by default: their numbers survive in the docs even though the
-# old /tmp markers died with a host reboot. Set CHIPQ_FORCE=1 to
-# re-measure them. Still OUTSTANDING (gated on the trained-evidence
-# checkpoint, tools/evidence_retrain.sh):
-#   q42  DeepCache quality ladder on TRAINED weights — random weights
-#        don't contract approximation error, so this is the number that
-#        decides whether DeepCache can be a default (docs/PERF.md §6).
-#   q50  evidence_eval refresh on the retrained best_loss checkpoint
-#        (the round-5 original was reboot-wiped).
+# q32-q39 DeepCache, q42/q50 trained-weights ladders/eval, q60 bench
+# reconfirm, q70 percentile cal, q80-q82 cold start — all in docs/PERF.md)
+# are skipped by default: their numbers survive in the docs even though
+# reboots keep wiping the markers/artifacts. Set CHIPQ_FORCE=1 to
+# re-measure them. Still OUTSTANDING (gated on the LONG-train evidence
+# checkpoint — round 3 restarted tools/evidence_retrain.sh durably at
+# --steps 60000; the trainer auto-resumes from .evidence/run):
+#   q44  DeepCache + few-step ladder refresh at >=40k steps (does the
+#        dc2:2 / eta1-ddim25 verdict hold as the model converges?)
+#   q51  evidence_eval at >=40k steps — the VERDICT r2 #4 number (does
+#        SR beat its degraded input on >=2 of 3 classes?)
 set -u
 cd "$(dirname "$0")/.."
 # .chipq (gitignored, under the repo) survives reboots; /tmp does not.
@@ -122,15 +123,49 @@ for d in "${EV_ROOT:-/root/repo/.evidence}/run/evidence_dim64_synth_best_loss" \
 done
 
 # q42: DeepCache ladder on TRAINED weights (random weights don't contract
-# approximation error — this is the quality claim that matters)
+# approximation error — this is the quality claim that matters).
+# RESOLVED round 7 (docs/PERF.md "Quality ladder, TRAINED weights"):
+# dc2:2 costs -0.97 dB vs bf16 -> promoted to bench default; dc5:2 pinned
+# quality-degraded. Re-measures only with CHIPQ_FORCE=1.
 if [ -n "$EV_CKPT_DIR" ]; then
-    run_item q42_ladder_dc_trained 4800 env QP_DIM=64 QP_LR=128 QP_STEPS=50 \
+    recorded_item q42_ladder_dc_trained 4800 env QP_DIM=64 QP_LR=128 QP_STEPS=50 \
         QP_CKPT="$EV_CKPT_DIR" \
         QP_MODES='float32,bfloat16,bfloat16+dc2.2,bfloat16+dc3.2,bfloat16+dc5.2' \
         QP_SAVE_DIR="$CHIPQ_DIR/q42_canvases" \
         python tools/quality_probe.py
 else
     echo "[chipq] q42: trained checkpoint missing (run tools/evidence_retrain.sh) — skipping"
+fi
+
+# Long-train gate: q44/q51 only make sense on a checkpoint trained well
+# past the 20k-step r5/r7 evidence runs (round 3 restarted the pipeline
+# at --steps 60000; a partially-resumed run must not masquerade as the
+# long-train evidence — see ADVICE r2 on .train_done).
+EV_LONG=""
+if [ -n "$EV_CKPT_DIR" ]; then
+    EV_LONG=$(python - "$EV_CKPT_DIR" <<'PYEOF'
+import sys
+try:
+    from srgd_tpu.checkpoint.io import restore_params
+    step = int(restore_params(sys.argv[1])['step'])
+except Exception:
+    step = 0
+print('yes' if step >= 40000 else '')
+PYEOF
+)
+fi
+
+# q44: DeepCache + few-step ladder refresh on the LONG-trained checkpoint
+# (does the q42 dc2:2 verdict and the q50 eta1-ddim25 winner hold as the
+# model converges further?)
+if [ -n "$EV_LONG" ]; then
+    run_item q44_ladder_dc_longtrain 4800 env QP_DIM=64 QP_LR=128 QP_STEPS=50 \
+        QP_CKPT="$EV_CKPT_DIR" \
+        QP_MODES='float32,bfloat16,bfloat16+dc2.2,bfloat16+dc3.2' \
+        QP_SAVE_DIR="$CHIPQ_DIR/q44_canvases" \
+        python tools/quality_probe.py
+else
+    echo "[chipq] q44: long-train checkpoint (>=40k steps) not ready — skipping"
 fi
 
 # q70/q72: percentile calibration estimator at >=256ch (VERDICT r2 #9 chip
@@ -152,13 +187,25 @@ recorded_item q40_ladder512_pertime 2400 env QP_DIM=128 QP_LR=128 QP_STEPS=50 \
     QP_QMIN=512 QP_MODES='float32,w8a8,w8a8t' \
     python tools/quality_probe.py
 
-# q50: trained-evidence eval refresh at the surviving best_loss checkpoint
+# q50: trained-evidence eval refresh at the surviving best_loss checkpoint.
+# RESOLVED round 7 (docs/PERF.md end-to-end SR tables + sampler step
+# ladder, eta1-ddim25 few-step winner). Re-measures with CHIPQ_FORCE=1.
 if [ -n "$EV_CKPT_DIR" ]; then
-    run_item q50_evidence_eval 10800 env \
+    recorded_item q50_evidence_eval 10800 env \
         EV_CKPT="$EV_CKPT_DIR" \
         python tools/evidence_eval.py
 else
     echo "[chipq] q50: checkpoint missing (run tools/evidence_retrain.sh) — skipping"
+fi
+
+# q51: the LONG-train eval — the number VERDICT r2 #4 actually asks for
+# (does SR beat its degraded input on >=2 of 3 classes at 60k steps?)
+if [ -n "$EV_LONG" ]; then
+    run_item q51_evidence_eval_longtrain 10800 env \
+        EV_CKPT="$EV_CKPT_DIR" \
+        python tools/evidence_eval.py
+else
+    echo "[chipq] q51: long-train checkpoint (>=40k steps) not ready — skipping"
 fi
 
 # q60: headline bench reconfirmation on the current default

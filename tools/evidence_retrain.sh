@@ -22,7 +22,9 @@
 set -eu
 cd "$(dirname "$0")/.."
 EV_ROOT=${EV_ROOT:-/root/repo/.evidence}
-EV_STEPS=${EV_STEPS:-20000}
+# 60000 since round 3: the 20k draws sit on the variance edge (one wins
+# denoise, one loses all three — docs/PERF.md); q44/q51 gate at >=40k.
+EV_STEPS=${EV_STEPS:-60000}
 DATA="$EV_ROOT/synth_train"
 RUN="$EV_ROOT/run"
 CKPT_BEST="$RUN/evidence_dim64_synth_best_loss"
