@@ -299,6 +299,69 @@ def test_reference_continuous_tiled_overlap_stride_golden():
     _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))
 
 
+@pytest.mark.parametrize('class_cond_scale', [1.0, 2.0])
+def test_reference_elucidated_heun_golden(class_cond_scale):
+    """srgd-tpu sample_org vs the reference's own stochastic Heun sampler
+    (ConditionalElucidatedDiffusionSR.sample_org, model.py:2212-2306),
+    identical injected noise. The sampler loop, churn schedule, CFG merge
+    and 2nd-order correction are all reference-authored; the stub only
+    supplies the EDM preconditioning scalars (SURVEY 2.11). n=4 Karras
+    sigmas exercise both gamma branches (sigma_0=80 > S_tmax and
+    sigma_3=0.002 < S_tmin get gamma 0; the middle two churn)."""
+    from srgd_tpu.diffusion.elucidated import ElucidatedDiffusion
+
+    ref = ref_model()
+    dim, n_steps = 8, 4
+    torch.manual_seed(2)
+    tnet = ref.ConditionalSRUnet(
+        dim=dim, dim_mults=(1, 2), full_attn=(False, True),
+        learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+        num_classes=3)
+    tnet.eval()
+    tdiff = ref.ConditionalElucidatedDiffusionSR(
+        tnet, image_size=16, num_sample_steps=n_steps)
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    params, unmatched = convert_unet_state_dict(sd, num_stages=2)
+    assert not unmatched
+    jnet = SRUnet(dim=dim, dim_mults=(1, 2), full_attn=(False, True),
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+                  num_classes=3)
+    jdiff = ElucidatedDiffusion(net=jnet, image_size=16,
+                                num_sample_steps=n_steps)
+
+    gen = np.random.default_rng(5)
+    cond01 = gen.uniform(size=(1, 16, 16, 3)).astype(np.float32)
+    label = np.asarray([2])
+
+    # srgd sample_org key schedule: rng -> (rng', init); eps_i from
+    # fold_in(rng', i) for every step incl. the final Euler one (where
+    # gamma=0 makes it a dead draw — the reference draws it too)
+    rng0 = jax.random.PRNGKey(29)
+    rng1, init_key = jax.random.split(rng0)
+    shape = (1, 16, 16, 3)
+    init_raw = np.asarray(jax.random.normal(init_key, shape, jnp.float32))
+    eps = [np.asarray(jax.random.normal(jax.random.fold_in(rng1, i), shape,
+                                        jnp.float32))
+           for i in range(n_steps)]
+
+    ours = jdiff.sample_org(params={'params': params}, rng=rng0,
+                            condition_x=jnp.asarray(cond01),
+                            class_label=jnp.asarray(label),
+                            class_cond_scale=class_cond_scale)
+
+    # reference draws: init_sigma * randn(shape), then one randn(shape)
+    # eps per sigmas_and_gammas entry (model.py:2244, 2270)
+    queue = [nchw(init_raw)] + [nchw(e) for e in eps]
+    with torch.no_grad(), _ReplayNoise(queue) as replay:
+        theirs = tdiff.sample_org(
+            batch_size=1, condition_x=torch.as_tensor(nchw(cond01)),
+            class_label=torch.as_tensor(label),
+            class_cond_scale=class_cond_scale)
+        assert not replay.queue
+    _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))
+
+
 def test_reference_gaussian_ddim_golden():
     """srgd-tpu DDIM vs the reference's own ddim_sample (model.py:1565-1641;
     eta=0 deterministic — only the init noise enters the output)."""
