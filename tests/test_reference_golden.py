@@ -362,6 +362,56 @@ def test_reference_elucidated_heun_golden(class_cond_scale):
     _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))
 
 
+def test_reference_elucidated_dpmpp_golden():
+    """srgd-tpu sample_using_dpmpp vs the reference's own DPM-Solver++(2M)
+    (model.py:2478-2557; deterministic given the init draw — the multistep
+    denoised_d extrapolation, log-sigma step math and terminal sigma=0
+    step are all reference-authored)."""
+    from srgd_tpu.diffusion.elucidated import ElucidatedDiffusion
+
+    ref = ref_model()
+    dim, n_steps = 8, 5
+    torch.manual_seed(4)
+    tnet = ref.ConditionalSRUnet(
+        dim=dim, dim_mults=(1, 2), full_attn=(False, True),
+        learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+        num_classes=3)
+    tnet.eval()
+    tdiff = ref.ConditionalElucidatedDiffusionSR(
+        tnet, image_size=16, num_sample_steps=n_steps, use_dpmpp_solver=True)
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    params, unmatched = convert_unet_state_dict(sd, num_stages=2)
+    assert not unmatched
+    jnet = SRUnet(dim=dim, dim_mults=(1, 2), full_attn=(False, True),
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+                  num_classes=3)
+    jdiff = ElucidatedDiffusion(net=jnet, image_size=16,
+                                num_sample_steps=n_steps,
+                                use_dpmpp_solver=True)
+
+    gen = np.random.default_rng(7)
+    cond01 = gen.uniform(size=(1, 16, 16, 3)).astype(np.float32)
+    label = np.asarray([0])
+
+    rng0 = jax.random.PRNGKey(31)
+    _, init_key = jax.random.split(rng0)
+    init_raw = np.asarray(jax.random.normal(init_key, (1, 16, 16, 3),
+                                            jnp.float32))
+
+    # dispatch through sample() so the use_dpmpp_solver routing
+    # (model.py:2196-2209) is covered too
+    ours = jdiff.sample({'params': params}, rng0, jnp.asarray(cond01),
+                        jnp.asarray(label))
+
+    with torch.no_grad(), _ReplayNoise([nchw(init_raw)]) as replay:
+        theirs = tdiff.sample(batch_size=1,
+                              condition_x=torch.as_tensor(nchw(cond01)),
+                              class_label=torch.as_tensor(label))
+        assert not replay.queue
+    _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))
+
+
 def test_reference_gaussian_ddim_golden():
     """srgd-tpu DDIM vs the reference's own ddim_sample (model.py:1565-1641;
     eta=0 deterministic — only the init noise enters the output)."""
