@@ -362,6 +362,75 @@ def test_reference_elucidated_heun_golden(class_cond_scale):
     _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))
 
 
+def test_reference_elucidated_tiled_golden():
+    """srgd-tpu EDM tiled_sample vs the reference's own tiled Heun sampler
+    (model.py:2308-2475): canvas-level churn noise before tiling, per-tile
+    2nd-order correction, remainder minibatch, odd-step margin re-noise via
+    get_noised_images(zeros, i) at the CURRENT step's sigma — all
+    reference-authored quirks. 300px cond -> 768px canvas: 3x3 even grid
+    (remainder minibatch at batch 4) + 2x2 shifted grid + margin."""
+    from srgd_tpu.diffusion.elucidated import ElucidatedDiffusion
+
+    ref = ref_model()
+    dim, n_steps, tile, bs = 8, 2, 256, 4
+    torch.manual_seed(6)
+    tnet = ref.ConditionalSRUnet(
+        dim=dim, dim_mults=(1, 2), full_attn=(False, False),
+        learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+        attn_heads=1, attn_dim_head=8, num_classes=3)
+    tnet.eval()
+    tdiff = ref.ConditionalElucidatedDiffusionSR(
+        tnet, image_size=tile, num_sample_steps=n_steps)
+
+    sd = {k: v.numpy() for k, v in tnet.state_dict().items()}
+    params, unmatched = convert_unet_state_dict(sd, num_stages=2)
+    assert not unmatched
+    jnet = SRUnet(dim=dim, dim_mults=(1, 2), full_attn=(False, False),
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=8,
+                  attn_heads=1, attn_dim_head=8, num_classes=3)
+    jdiff = ElucidatedDiffusion(net=jnet, image_size=tile,
+                                num_sample_steps=n_steps)
+
+    h = w = 300
+    gen = np.random.default_rng(11)
+    cond01 = gen.uniform(size=(1, h, w, 3)).astype(np.float32)
+    label = np.asarray([1])
+
+    # srgd key schedule (elucidated.tiled_sample): rng -> (rng', init);
+    # per step i: fold_in(rng', i) -> (key_t eps, key_m margin)
+    rng0 = jax.random.PRNGKey(37)
+    rng1, init_key = jax.random.split(rng0)
+    canvas = (1, 768, 768, 3)
+    init_raw = np.asarray(jax.random.normal(init_key, canvas, jnp.float32))
+    eps_raw, margin_raw = {}, {}
+    for i in range(n_steps):
+        key_t, key_m = jax.random.split(jax.random.fold_in(rng1, i))
+        eps_raw[i] = np.asarray(jax.random.normal(key_t, canvas, jnp.float32))
+        margin_raw[i] = np.asarray(jax.random.normal(key_m, canvas,
+                                                     jnp.float32))
+
+    ours = jdiff.tiled_sample({'params': params}, rng0, jnp.asarray(cond01),
+                              jnp.asarray(label), tile_size=tile,
+                              batch_size=bs)
+
+    # reference draws, in order: init canvas randn (scaled by sigma_0
+    # inside), then per step one canvas randn for eps (model.py:2392 —
+    # drawn even when gamma=0 leaves it unused), then on odd steps the
+    # margin randn_like(zeros) inside get_noised_images (model.py:2457)
+    queue = [nchw(init_raw)]
+    for i in range(n_steps):
+        queue.append(nchw(eps_raw[i]))
+        if i % 2 == 1:
+            queue.append(nchw(margin_raw[i]))
+    with torch.no_grad(), _ReplayNoise(queue) as replay:
+        theirs = tdiff.tiled_sample(
+            batch_size=bs, tile_size=tile, tile_stride=tile,
+            condition_x=torch.as_tensor(nchw(cond01)),
+            class_label=torch.as_tensor(label))
+        assert not replay.queue
+    _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))
+
+
 def test_reference_elucidated_dpmpp_golden():
     """srgd-tpu sample_using_dpmpp vs the reference's own DPM-Solver++(2M)
     (model.py:2478-2557; deterministic given the init draw — the multistep
