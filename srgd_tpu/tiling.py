@@ -160,6 +160,22 @@ def make_geometry(height: int, width: int, tile_size: int = 256,
             coords_odd = tuple(grid_coords(
                 padded_h - tile_size, padded_w - tile_size,
                 tile_size, tile_stride, diff=half))
+            # Overlap gather/scatter cost grows ~(tile_size/stride)^2 per
+            # step: the gather stacks len(coords_odd) full slabs and the
+            # scatter emits one .at[].set per tile, so HLO size scales with
+            # the tile count. On big canvases at small strides (e.g. stride
+            # 64 on a 2K padded canvas ~ 900 tiles/step) this can exceed the
+            # remote-compile relay's HTTP request-size limit (CLAUDE.md)
+            # even in host_loop mode — warn so a 413 is diagnosable.
+            if len(coords_odd) > 256:
+                import warnings
+                warnings.warn(
+                    f'overlapping tile grid has {len(coords_odd)} tiles/step '
+                    f'(tile_size {tile_size}, stride {tile_stride}, canvas '
+                    f'{padded_h}x{padded_w}); HLO size scales with the tile '
+                    f'count and may exceed the remote-compile request limit '
+                    f'on TPU — raise tile_stride if compiles fail (HTTP 413)',
+                    stacklevel=2)
 
     return TileGeometry(
         height=height, width=width,

@@ -141,18 +141,26 @@ fi
 # past the 20k-step r5/r7 evidence runs (round 3 restarted the pipeline
 # at --steps 60000; a partially-resumed run must not masquerade as the
 # long-train evidence — see ADVICE r2 on .train_done).
+# ADVICE r3: the gate must be cheap, CPU-only, bounded, and loud on
+# failure — a hung/broken restore must read as "gate broken" in the log,
+# not silently as "not trained enough".
 EV_LONG=""
 if [ -n "$EV_CKPT_DIR" ]; then
-    EV_LONG=$(python - "$EV_CKPT_DIR" <<'PYEOF'
+    EV_LONG=$(timeout 300 python - "$EV_CKPT_DIR" <<'PYEOF'
 import sys
+import jax
+jax.config.update('jax_platforms', 'cpu')  # ambient JAX_PLATFORMS=axon
 try:
     from srgd_tpu.checkpoint.io import restore_params
     step = int(restore_params(sys.argv[1])['step'])
-except Exception:
+    print(f'[chipq] long-train gate: checkpoint step {step}', file=sys.stderr)
+except Exception as e:
+    print(f'[chipq] long-train gate BROKEN (treating as not-ready): '
+          f'{type(e).__name__}: {e}', file=sys.stderr)
     step = 0
 print('yes' if step >= 40000 else '')
 PYEOF
-)
+) || echo "[chipq] long-train gate timed out/failed (rc=$?) — treating as not-ready" >&2
 fi
 
 # q44: DeepCache + few-step ladder refresh on the LONG-trained checkpoint
