@@ -117,11 +117,15 @@ def main():
     # split stage, default 2). Default 2:2 since chipq q42 measured it at
     # -0.97 dB vs bf16 on TRAINED weights (docs/PERF.md ship verdict);
     # '0'/'' reverts to exact sampling. Always tagged in the metric name.
+    # Optional third field: non-uniform refresh schedule, '/'-separated
+    # segments ('N:D:0.5x3/0.5x1' — diffusion/base.refresh_mask syntax)
     dc_env = os.environ.get('BENCH_DEEPCACHE', '2:2')
     if dc_env not in ('', '0'):
-        n, _, d = dc_env.partition(':')
+        n, _, rest = dc_env.partition(':')
+        d, _, sched = rest.partition(':')
         conf.deep_cache_interval = int(n)
         conf.deep_cache_depth = int(d) if d else 2
+        conf.deep_cache_schedule = sched
     if use_mesh:
         # the fused pallas blocks are single-device; the mesh path runs the
         # identical-math XLA formulation under GSPMD
@@ -261,6 +265,8 @@ def main():
     if conf.deep_cache_interval > 1:
         # approximate sampling mode — always tagged in the metric name
         mode += f'+dc{conf.deep_cache_interval}.{conf.deep_cache_depth}'
+        if conf.deep_cache_schedule:
+            mode += f'@{conf.deep_cache_schedule}'
     if use_mesh:
         mode += f' mesh{n_dev}x1'
     print(json.dumps({

@@ -248,6 +248,12 @@ class Config:
                                       # 0/1 = exact sampling (default)
     deep_cache_depth: int = 2         # U-Net stage where the cached deep
                                       # half starts (1..n_stages-1)
+    deep_cache_schedule: str = ''     # non-uniform refresh positions, e.g.
+                                      # '0.5x3/0.5x1' = refresh every 3rd
+                                      # step in the high-noise half, every
+                                      # step in the low-noise half
+                                      # (diffusion/base.refresh_mask);
+                                      # '' = uniform every interval-th step
     lpips_weights_path: str = ''      # converted VGG16+LPIPS .npz for
                                       # test_target: best_lpips (utils/lpips.py)
 

@@ -130,6 +130,47 @@ def cache_zeros(net, depth: int, batch: int, h: int, w: int, mode: str):
     return jnp.zeros(shape, net.dtype)
 
 
+def refresh_mask(schedule: str, interval: int, n: int):
+    """DeepCache refresh positions as a bool[n] numpy mask over EXECUTED step
+    indices (plain samplers: j = i - start; tiled: j = (i - start) // 2, the
+    per-parity step counter).
+
+    schedule == '' (default): uniform — refresh when j % interval == 0, the
+    round-3 behavior. Otherwise a comma list of ``COUNTxINTERVAL`` segments
+    walked in sampling order (high noise -> low noise), where COUNT is an
+    absolute step count or a fraction of n (floats <= 1), and the LAST
+    segment extends to fill n regardless of its COUNT. Each segment refreshes
+    at its local j % INTERVAL == 0, so every segment opens with a refresh.
+    Example: '0.5x3,0.5x1' = sparse refresh (every 3rd) in the first half,
+    every step in the low-noise second half. '/' is accepted as a segment
+    separator too (for contexts where ',' already delimits, e.g.
+    quality_probe QP_MODES / BENCH_DEEPCACHE). j = 0 is always a refresh
+    (the first executed step has no cache to reuse).
+    """
+    import numpy as np
+    if not schedule:
+        return np.arange(n) % max(interval, 1) == 0
+    mask = np.zeros(n, dtype=bool)
+    pos = 0
+    segments = [s.strip() for s in schedule.replace('/', ',').split(',')
+                if s.strip()]
+    for k, seg in enumerate(segments):
+        cnt_s, _, int_s = seg.partition('x')
+        iv = max(int(int_s), 1)
+        cnt_f = float(cnt_s)
+        cnt = int(round(cnt_f * n)) if cnt_f <= 1.0 else int(cnt_f)
+        if k == len(segments) - 1:
+            cnt = n - pos
+        cnt = min(cnt, n - pos)
+        mask[pos:pos + cnt] = np.arange(cnt) % iv == 0
+        pos += cnt
+        if pos >= n:
+            break
+    if n > 0:
+        mask[0] = True  # the first executed step has no cache to reuse
+    return mask
+
+
 def chunked_map(fn: Callable, n_chunks: int, *arrays):
     """Apply ``fn`` over leading-axis chunks of the given arrays.
 

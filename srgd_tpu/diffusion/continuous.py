@@ -81,6 +81,11 @@ class ContinuousDiffusion:
     deep_cache_depth: int = 2     # U-Net stage where the cached deep half
                                   # starts (1..len(dim_mults)-1); smaller =
                                   # more skipped compute, bigger cache
+    deep_cache_schedule: str = '' # non-uniform refresh positions (base.
+                                  # refresh_mask segment syntax, e.g.
+                                  # '0.5x3,0.5x1' = sparse at high noise,
+                                  # every step at low noise); '' = uniform
+                                  # every deep_cache_interval-th step
 
     def __post_init__(self):
         self._jit_cache = {}
@@ -274,6 +279,11 @@ class ContinuousDiffusion:
 
         interval = self.deep_cache_interval
         use_px = self.sampler == 'dpmpp'   # multistep: thread previous x0
+        if interval > 1:
+            from srgd_tpu.diffusion.base import refresh_mask
+            dc_mask = jnp.asarray(refresh_mask(
+                self.deep_cache_schedule, interval,
+                n_steps - generation_start_steps))
 
         def step(carry, i):
             if interval > 1:
@@ -314,7 +324,7 @@ class ContinuousDiffusion:
                         deep_cache=cache)
                     return nx, xs, cache
 
-                refresh = ((i - generation_start_steps) % interval) == 0
+                refresh = dc_mask[i - generation_start_steps]
                 img, x_start, cache = jax.lax.cond(
                     refresh, full_fn, cached_fn, (img, cache))
             else:
@@ -420,6 +430,15 @@ class ContinuousDiffusion:
                 'deep_cache_interval > 1 with tiled debug captures is not '
                 'supported: the per-step state stack would also stack the '
                 'per-tile deep-feature caches. Capture with deep-cache off.')
+        if dc:
+            # refresh positions over the per-parity step counter
+            # (i - gss) // 2; both parities share the mask, so '' reproduces
+            # the uniform ((i - gss) // 2) % dc == 0 schedule exactly
+            from srgd_tpu.diffusion.base import refresh_mask
+            dc_mask_np = refresh_mask(
+                self.deep_cache_schedule, dc,
+                (n_steps - generation_start_steps + 1) // 2 + 1)
+            dc_mask = jnp.asarray(dc_mask_np)
         # dpmpp threads a previous-x0 canvas through the state, exactly like
         # the capture_x0 x_start canvas (model.py:3331's threading pattern)
         thread_x0 = capture_x0 or self.sampler == 'dpmpp'
@@ -541,12 +560,13 @@ class ContinuousDiffusion:
                          class_guidance_start_steps, tuple(chunks), tuple(n_chunks),
                          class_label is None, b, self.noise_schedule,
                          self.clip_sample_denoised, capture_x0, self.sampler,
-                         self.ddim_eta, dc, self.deep_cache_depth)
+                         self.ddim_eta, dc, self.deep_cache_depth,
+                         self.deep_cache_schedule)
             if dc:
                 builders = {(p, v): (lambda p=p, v=v: make_parity_step(p, v))
                             for p in (0, 1) for v in ('full', 'cached')}
                 select = lambda i: (((i % 2), 'full'
-                                     if ((i - gss) // 2) % dc == 0
+                                     if dc_mask_np[(i - gss) // 2]
                                      else 'cached'), i % 2)
             else:
                 builders = {0: lambda: make_parity_step(0),
@@ -563,7 +583,7 @@ class ContinuousDiffusion:
 
                 def parity_branch(p):
                     def run(state, i):
-                        refresh = ((i - gss) // 2) % dc == 0
+                        refresh = dc_mask[(i - gss) // 2]
                         return jax.lax.cond(
                             refresh,
                             lambda s: steps_pv[(p, 'full')](

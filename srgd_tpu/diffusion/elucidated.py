@@ -58,6 +58,9 @@ class ElucidatedDiffusion:
                                   # that follow); cached steps reuse it for
                                   # both evals. 0/1 = exact sampling
     deep_cache_depth: int = 2
+    deep_cache_schedule: str = ''  # non-uniform refresh positions
+                                   # (base.refresh_mask segment syntax);
+                                   # '' = uniform every dc-th step
 
     def __post_init__(self):
         self._jit_cache = {}
@@ -190,13 +193,17 @@ class ElucidatedDiffusion:
 
         dc = self.deep_cache_interval if self.deep_cache_interval > 1 else 0
         start = generation_start_steps
+        if dc:
+            from srgd_tpu.diffusion.base import refresh_mask
+            dc_mask_np = refresh_mask(self.deep_cache_schedule, dc, n - start)
+            dc_mask = jnp.asarray(dc_mask_np)
 
         def step(carry, i):
             img, cache = carry if dc else (carry, None)
             key = jax.random.fold_in(rng, i)
             hs = dict(second_order=True)
             if dc:
-                refresh = ((i - start) % dc) == 0
+                refresh = dc_mask[i - start]
                 img, dd, cache = jax.lax.cond(
                     refresh,
                     lambda a: self._heun_step(
@@ -232,7 +239,7 @@ class ElucidatedDiffusion:
         key = jax.random.fold_in(rng, i_last)
         # final Euler step: the refresh schedule position is static here
         last_kw = {}
-        if dc and ((i_last - start) % dc) != 0:
+        if dc and not dc_mask_np[i_last - start]:
             last_kw = dict(deep_cache=cache)
         out_last = self._heun_step(params, img, key, sig[i_last],
                                    sig[i_last + 1], gam[i_last], cond,
@@ -492,14 +499,20 @@ class ElucidatedDiffusion:
                             cond_tiles[p].shape[0], cond_tiles[p].shape[1],
                             cond_tiles[p].shape[2], mode)
                 for p in (0, 1))
-        dcv = lambda i: ('full' if ((i - start) // 2) % dc == 0 else 'cached') \
+        if dc:
+            from srgd_tpu.diffusion.base import refresh_mask
+            dc_mask_np = refresh_mask(self.deep_cache_schedule, dc,
+                                      (n - start + 1) // 2 + 1)
+            dc_mask = jnp.asarray(dc_mask_np)
+        dcv = lambda i: ('full' if dc_mask_np[(i - start) // 2] else 'cached') \
             if dc else 'std'
 
         if host_loop:
             cache_key = ('edm', geom, n, mode, cond_scale, class_cond_scale,
                          guidance_start_steps, class_guidance_start_steps,
                          tuple(chunks), tuple(n_chunks), class_label is None, b,
-                         clamp, self.edm, capture_x0, dc, self.deep_cache_depth)
+                         clamp, self.edm, capture_x0, dc, self.deep_cache_depth,
+                         self.deep_cache_schedule)
             variants = ('full', 'cached') if dc else ('std',)
             builders = {(so, p, v): (lambda so=so, p=p, v=v:
                                      make_parity_step(p, so == 'heun', v))
@@ -517,7 +530,7 @@ class ElucidatedDiffusion:
 
                 def parity_branch(p):
                     def run(state, i):
-                        refresh = ((i - start) // 2) % dc == 0
+                        refresh = dc_mask[(i - start) // 2]
                         return jax.lax.cond(
                             refresh,
                             lambda s: steps_pv[(p, 'full')](

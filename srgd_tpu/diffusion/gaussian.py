@@ -72,6 +72,9 @@ class GaussianDiffusion:
                                   # tiled) — same DeepCache semantics as
                                   # continuous.py; 0/1 = exact sampling
     deep_cache_depth: int = 2
+    deep_cache_schedule: str = ''  # non-uniform refresh positions
+                                   # (base.refresh_mask segment syntax);
+                                   # '' = uniform every dc-th step
 
     def __post_init__(self):
         assert self.objective in OBJECTIVES, (
@@ -191,6 +194,10 @@ class GaussianDiffusion:
             img = jax.random.normal(init_key, cond.shape, jnp.float32)
         init_img = img  # frame 0 of both capture stacks (model.py:985-987)
         dc = self.deep_cache_interval if self.deep_cache_interval > 1 else 0
+        if dc:
+            from srgd_tpu.diffusion.base import refresh_mask
+            dc_mask = jnp.asarray(refresh_mask(
+                self.deep_cache_schedule, dc, T - generation_start_steps))
 
         def step(carry, i):
             img, cache = carry if dc else (carry, None)
@@ -201,7 +208,7 @@ class GaussianDiffusion:
             scale = cs if mode == GUIDANCE_COND else ccs
             noise = jax.random.normal(key, img.shape, jnp.float32)
             if dc:
-                refresh = ((i - generation_start_steps) % dc) == 0
+                refresh = dc_mask[i - generation_start_steps]
                 img, x0, cache = jax.lax.cond(
                     refresh,
                     lambda a: self.p_sample_step(
@@ -277,6 +284,11 @@ class GaussianDiffusion:
             img = jax.random.normal(init_key, cond.shape, jnp.float32)
         init_img = img  # frame 0 of both capture stacks (model.py:1032-1034)
         dc = self.deep_cache_interval if self.deep_cache_interval > 1 else 0
+        if dc:
+            from srgd_tpu.diffusion.base import refresh_mask
+            dc_mask = jnp.asarray(refresh_mask(
+                self.deep_cache_schedule, dc,
+                n_steps - generation_start_steps))
 
         def step(carry, inp):
             img, cache = carry if dc else (carry, None)
@@ -287,7 +299,7 @@ class GaussianDiffusion:
             scale = cs if mode == GUIDANCE_COND else ccs
             noise = jax.random.normal(key, img.shape, jnp.float32)
             if dc:
-                refresh = ((i - generation_start_steps) % dc) == 0
+                refresh = dc_mask[i - generation_start_steps]
                 img, x0, cache = jax.lax.cond(
                     refresh,
                     lambda a: self.ddim_step(
@@ -385,6 +397,12 @@ class GaussianDiffusion:
                 'deep_cache_interval > 1 with tiled debug captures is not '
                 'supported (the state stack would also stack the per-tile '
                 'deep-feature caches); capture with deep-cache off')
+        if dc:
+            from srgd_tpu.diffusion.base import refresh_mask
+            dc_mask_np = refresh_mask(
+                self.deep_cache_schedule, dc,
+                (n_steps - generation_start_steps + 1) // 2 + 1)
+            dc_mask = jnp.asarray(dc_mask_np)
 
         def make_parity_step(parity: int, variant: str = 'std'):
             def pstep(params, state, ctiles, ltiles, rng, i):
@@ -476,12 +494,13 @@ class GaussianDiffusion:
                          cond_scale, class_cond_scale, guidance_start_steps,
                          class_guidance_start_steps, tuple(chunks), tuple(n_chunks),
                          class_label is None, b, self.beta_schedule,
-                         self.objective, capture_x0, dc, self.deep_cache_depth)
+                         self.objective, capture_x0, dc, self.deep_cache_depth,
+                         self.deep_cache_schedule)
             if dc:
                 builders = {(p, v): (lambda p=p, v=v: make_parity_step(p, v))
                             for p in (0, 1) for v in ('full', 'cached')}
                 select = lambda i: (((i % 2), 'full'
-                                     if ((i - gss) // 2) % dc == 0
+                                     if dc_mask_np[(i - gss) // 2]
                                      else 'cached'), i % 2)
             else:
                 builders = {0: lambda: make_parity_step(0),
@@ -497,7 +516,7 @@ class GaussianDiffusion:
 
                 def parity_branch(p):
                     def run(state, i):
-                        refresh = ((i - gss) // 2) % dc == 0
+                        refresh = dc_mask[(i - gss) // 2]
                         return jax.lax.cond(
                             refresh,
                             lambda s: steps_pv[(p, 'full')](

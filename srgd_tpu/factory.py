@@ -51,6 +51,7 @@ def build_wrapper(conf: Config, net: SRUnet):
         return ContinuousDiffusion(
             deep_cache_interval=conf.deep_cache_interval,
             deep_cache_depth=conf.deep_cache_depth,
+            deep_cache_schedule=conf.deep_cache_schedule,
             net=net,
             image_size=conf.image_size,
             noise_schedule=conf.noise_schedule,
@@ -75,6 +76,7 @@ def build_wrapper(conf: Config, net: SRUnet):
             net=net,
             deep_cache_interval=conf.deep_cache_interval,
             deep_cache_depth=conf.deep_cache_depth,
+            deep_cache_schedule=conf.deep_cache_schedule,
             image_size=conf.image_size,
             timesteps=conf.timesteps,
             sampling_timesteps=conf.sampling_timesteps,
@@ -97,6 +99,7 @@ def build_wrapper(conf: Config, net: SRUnet):
             net=net,
             deep_cache_interval=conf.deep_cache_interval,
             deep_cache_depth=conf.deep_cache_depth,
+            deep_cache_schedule=conf.deep_cache_schedule,
             image_size=conf.image_size,
             num_sample_steps=conf.num_sample_steps,
             edm=EDMParams(

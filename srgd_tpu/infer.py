@@ -108,6 +108,12 @@ def parse_args(argv=None):
                    help='U-Net stage where the cached deep half starts '
                         '(1..n_stages-1); smaller skips more compute but '
                         'stores a bigger per-tile cache')
+    p.add_argument('--deep_cache_schedule', type=str, default='',
+                   help="non-uniform refresh positions as COUNTxINTERVAL "
+                        "segments in sampling order, e.g. '0.5x3/0.5x1' = "
+                        "refresh every 3rd step in the high-noise half, "
+                        "every step in the low-noise half; '' = uniform "
+                        "every --deep_cache-th step")
     p.add_argument('--matmul_precision', type=str, default='default',
                    choices=['default', 'high', 'highest'])
     p.add_argument('--tile_size', type=int, default=256)
@@ -312,6 +318,7 @@ def build_model_and_opts(args):
     if getattr(args, 'deep_cache', 0):
         conf.deep_cache_interval = args.deep_cache
         conf.deep_cache_depth = getattr(args, 'deep_cache_depth', 2)
+        conf.deep_cache_schedule = getattr(args, 'deep_cache_schedule', '')
 
     import jax
     if getattr(args, 'matmul_precision', 'default') != 'default':

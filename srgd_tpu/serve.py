@@ -116,6 +116,9 @@ def parse_args(argv=None):
                    help='>1: DeepCache fast sampling — recompute the U-Net '
                         'deep half every Nth step only (see infer.py)')
     p.add_argument('--deep_cache_depth', type=int, default=2)
+    p.add_argument('--deep_cache_schedule', type=str, default='',
+                   help="non-uniform refresh segments, e.g. '0.5x3/0.5x1' "
+                        "(see infer.py --deep_cache_schedule)")
     p.add_argument('--quant_calibrate_cache', type=str, default='',
                    help='.npz path persisting the calibrated scales across '
                         'daemon restarts (fingerprint-checked; a mismatch '

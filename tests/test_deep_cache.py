@@ -366,3 +366,103 @@ def test_cli_flag_plumbs_to_wrapper(tmp_path):
     wrapper, _, _, _, _ = build_model_and_opts(args)
     assert wrapper.deep_cache_interval == 2
     assert wrapper.deep_cache_depth == 1
+
+
+# ---------------------------------------------------------------------------
+# Non-uniform refresh schedules (round 4, VERDICT r3 #5)
+# ---------------------------------------------------------------------------
+
+def test_refresh_mask_parsing():
+    from srgd_tpu.diffusion.base import refresh_mask
+    # '' = uniform every interval-th step (the round-3 behavior)
+    np.testing.assert_array_equal(
+        refresh_mask('', 2, 6), [True, False, True, False, True, False])
+    np.testing.assert_array_equal(
+        refresh_mask('', 3, 5), [True, False, False, True, False])
+    # fractional segments: first half every 3rd, second half every step
+    np.testing.assert_array_equal(
+        refresh_mask('0.5x3,0.5x1', 2, 8),
+        [True, False, False, True] + [True] * 4)
+    # '/' separator is equivalent (for comma-delimited contexts)
+    np.testing.assert_array_equal(refresh_mask('0.5x3/0.5x1', 2, 8),
+                                  refresh_mask('0.5x3,0.5x1', 2, 8))
+    # absolute counts; the LAST segment extends to fill n
+    np.testing.assert_array_equal(
+        refresh_mask('2x2,2x1', 2, 7),
+        [True, False, True, True, True, True, True])
+    # j = 0 always refreshes even if the spec says otherwise
+    assert refresh_mask('1x9', 2, 3)[0]
+    # '1.0x<interval>' is exactly the uniform schedule
+    np.testing.assert_array_equal(refresh_mask('1.0x3', 3, 10),
+                                  refresh_mask('', 3, 10))
+
+
+def test_schedule_every_step_is_exact():
+    """interval>1 with an every-step refresh schedule equals exact sampling
+    (every step runs 'full'). Not bitwise: the deep-cache sampler threads
+    the lax.cond(full, cached) machinery, so XLA compiles a different
+    program than the exact sampler — same math, fp-noise-level drift."""
+    conf = _conf3()
+    w_off, params = _wrapped(conf)
+    w_on = build_wrapper(_conf3(deep_cache_interval=3,
+                                deep_cache_schedule='1.0x1'), w_off.net)
+    rng = jax.random.PRNGKey(11)
+    cond = jax.random.uniform(jax.random.PRNGKey(12), (1, 16, 16, 3))
+    lb = jnp.zeros((1,), jnp.int32)
+    a = w_off.sample(params, rng, cond, lb, **_sample_kw())
+    b = w_on.sample(params, rng, cond, lb, **_sample_kw())
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    assert _psnr(a, b) > 80.0
+
+
+def test_schedule_uniform_spelling_matches_interval():
+    """'1.0xN' spelled as a schedule == plain interval N, bitwise, for the
+    non-tiled and the tiled (host-loop) samplers."""
+    net, params = _init_net(_conf3())
+    w_int = build_wrapper(_conf3(deep_cache_interval=2), net)
+    w_sch = build_wrapper(_conf3(deep_cache_interval=2,
+                                 deep_cache_schedule='1.0x2'), net)
+    rng = jax.random.PRNGKey(13)
+    cond = jax.random.uniform(jax.random.PRNGKey(14), (1, 16, 16, 3))
+    lb = jnp.zeros((1,), jnp.int32)
+    a = w_int.sample(params, rng, cond, lb, **_sample_kw())
+    b = w_sch.sample(params, rng, cond, lb, **_sample_kw())
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ta = w_int.tiled_sample(params, rng, cond, lb, tile_size=16,
+                            batch_size=2, num_sample_steps=6, host_loop=True)
+    tb = w_sch.tiled_sample(params, rng, cond, lb, tile_size=16,
+                            batch_size=2, num_sample_steps=6, host_loop=True)
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+
+def test_schedule_nonuniform_runs_all_families():
+    """A front-sparse/back-dense schedule samples finite output in every
+    family, tiled and non-tiled."""
+    for model in ('conditional_continuous', 'conditional_gaussian',
+                  'conditional_elucidated'):
+        conf = _conf3_family(model, deep_cache_interval=3,
+                             deep_cache_schedule='0.5x3/0.5x1')
+        net = build_unet_from_config(conf)
+        params = _init_net_params(net, conf)
+        w = build_wrapper(conf, net)
+        rng = jax.random.PRNGKey(15)
+        cond = jax.random.uniform(jax.random.PRNGKey(16), (1, 16, 16, 3))
+        lb = jnp.zeros((1,), jnp.int32)
+        out = np.asarray(w.sample(params, rng, cond, lb, **_sample_kw()))
+        assert np.isfinite(out).all(), model
+        tout = np.asarray(w.tiled_sample(params, rng, cond, lb, tile_size=16,
+                                         batch_size=2, num_sample_steps=6))
+        assert np.isfinite(tout).all(), model
+
+
+def test_schedule_cli_plumbs_to_wrapper(tmp_path):
+    from srgd_tpu.infer import build_model_and_opts, parse_args
+    from tests.test_cli import TINY_YAML
+    conf_path = tmp_path / 'tiny.yaml'
+    conf_path.write_text(TINY_YAML)
+    args = parse_args(['-c', str(conf_path), '-m', '', '--input_dir', 'x',
+                       '--output_dir', 'y', '--tile_size', '16',
+                       '--deep_cache', '2', '--deep_cache_depth', '1',
+                       '--deep_cache_schedule', '0.5x3/0.5x1'])
+    wrapper, _, _, _, _ = build_model_and_opts(args)
+    assert wrapper.deep_cache_schedule == '0.5x3/0.5x1'

@@ -62,11 +62,16 @@ def main():
     ckpt = os.environ.get('QP_CKPT', '')
     outs = {}
     for mode in modes:
-        # '<mode>+dcN' / '+dcN.D': DeepCache fast sampling at interval N,
-        # split stage D (default 2) — e.g. 'bfloat16+dc3', 'w8a8+dc2.3'
+        # '<mode>+dcN' / '+dcN.D' / '+dcN.D@SCHED': DeepCache fast sampling
+        # at interval N, split stage D (default 2), optional non-uniform
+        # refresh schedule with '/'-separated segments (base.refresh_mask) —
+        # e.g. 'bfloat16+dc3', 'w8a8+dc2.3', 'bfloat16+dc2.2@0.5x3/0.5x1'
         mode_q, _, dc_spec = mode.partition('+dc')
         conf.deep_cache_interval = 0
+        conf.deep_cache_schedule = ''
         if dc_spec:
+            dc_spec, _, sched = dc_spec.partition('@')
+            conf.deep_cache_schedule = sched
             n, _, d = dc_spec.partition('.')
             conf.deep_cache_interval = int(n)
             conf.deep_cache_depth = int(d) if d else 2
