@@ -427,6 +427,21 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
                     with timer.phase('save_best'):
                         copy_checkpoint(ckpt_dir, os.path.join(
                             out_dir, f'{conf.prefix or "ckpt"}_{target}'))
+                # milestone snapshots: keep an immutable copy every
+                # TRAIN_MILESTONE_EVERY steps (default 20k) so later runs
+                # can be compared at EQUAL step counts — the training-draw
+                # variance at 20k steps (~2-4 dB run to run, docs/PERF.md)
+                # is unquantifiable when the rolling checkpoint is the only
+                # surviving artifact. Cheap: a file copy of the checkpoint
+                # just written.
+                milestone = int(os.environ.get('TRAIN_MILESTONE_EVERY',
+                                               20000))
+                if milestone > 0 and step % milestone == 0:
+                    from srgd_tpu.checkpoint.io import copy_checkpoint
+                    with timer.phase('save_best'):
+                        copy_checkpoint(ckpt_dir, f'{ckpt_dir}_step{step}')
+                    logger.info('milestone snapshot -> %s_step%d',
+                                ckpt_dir, step)
     step = int(state.step)
     if stop.triggered and step % save_every != 0 and step < total_steps:
         # signal arrived between periodic saves: persist the stint's tail

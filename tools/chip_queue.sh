@@ -17,12 +17,19 @@
 # are skipped by default: their numbers survive in the docs even though
 # reboots keep wiping the markers/artifacts. Set CHIPQ_FORCE=1 to
 # re-measure them. Still OUTSTANDING (gated on the LONG-train evidence
-# checkpoint — round 3 restarted tools/evidence_retrain.sh durably at
-# --steps 60000; the trainer auto-resumes from .evidence/run):
-#   q44  DeepCache + few-step ladder refresh at >=40k steps (does the
-#        dc2:2 / eta1-ddim25 verdict hold as the model converges?)
+# checkpoint; round 4 rebased the retrain at EV_STEPS=40000 — the >=40k
+# gate minimum — because a reboot wiped .evidence and 60k cannot finish
+# inside one round's wall clock on this chip; the trainer auto-resumes
+# from .evidence/run):
 #   q51  evidence_eval at >=40k steps — the VERDICT r2 #4 number (does
-#        SR beat its degraded input on >=2 of 3 classes?)
+#        SR beat its degraded input on >=2 of 3 classes?) PLUS the
+#        multi-class multi-canvas few-step ladder (VERDICT r3 #3)
+#   q44  DeepCache ladder refresh at >=40k steps (does the dc2:2 verdict
+#        hold as the model converges?), now incl. non-uniform refresh
+#        schedules (VERDICT r3 #5)
+#   q47  dc2:2 on top of >=256ch dynamic+smooth int8 (the unmeasured
+#        combination from VERDICT r3 weak #2) — bench + trained-quality
+#   q46  non-uniform DeepCache schedule throughput confirmations
 set -u
 cd "$(dirname "$0")/.."
 # .chipq (gitignored, under the repo) survives reboots; /tmp does not.
@@ -166,15 +173,58 @@ fi
 # q44: DeepCache + few-step ladder refresh on the LONG-trained checkpoint
 # (does the q42 dc2:2 verdict and the q50 eta1-ddim25 winner hold as the
 # model converges further?)
+# q51 RUNS FIRST among the long-train items — it is the two-rounds-pending
+# headline (VERDICT r2 #4: does SR beat its degraded input on >=2 of 3
+# classes?), and since round 4 evidence_eval also carries the multi-class
+# multi-canvas few-step ladder (VERDICT r3 #3) whose summary table is the
+# time-to-quality evidence for the validated serving profile.
 if [ -n "$EV_LONG" ]; then
-    run_item q44_ladder_dc_longtrain 4800 env QP_DIM=64 QP_LR=128 QP_STEPS=50 \
+    run_item q51_evidence_eval_longtrain 10800 env \
+        EV_CKPT="$EV_CKPT_DIR" \
+        python tools/evidence_eval.py
+else
+    echo "[chipq] q51: long-train checkpoint (>=40k steps) not ready — skipping"
+fi
+
+# q44: DeepCache ladder on the LONG-trained checkpoint (does the q42
+# dc2:2 verdict hold as the model converges?), now including two
+# non-uniform refresh schedules (VERDICT r3 #5 — refresh densest at low
+# noise where features drift most; refresh_mask syntax, walked in
+# sampling order high->low noise). Cost-matched pairs at 50 exec steps:
+#   dc3.2@0.5x5/0.5x2 = 18 refreshes ~ uniform dc3.2's 17
+#   dc5.2@0.7x9/0.3x2 = 12 refreshes, between dc3 (17) and dc5 (10)
+if [ -n "$EV_LONG" ]; then
+    run_item q44_ladder_dc_longtrain 7200 env QP_DIM=64 QP_LR=128 QP_STEPS=50 \
         QP_CKPT="$EV_CKPT_DIR" \
-        QP_MODES='float32,bfloat16,bfloat16+dc2.2,bfloat16+dc3.2' \
+        QP_MODES='float32,bfloat16,bfloat16+dc2.2,bfloat16+dc3.2,bfloat16+dc3.2@0.5x5/0.5x2,bfloat16+dc5.2@0.7x9/0.3x2' \
         QP_SAVE_DIR="$CHIPQ_DIR/q44_canvases" \
         python tools/quality_probe.py
 else
     echo "[chipq] q44: long-train checkpoint (>=40k steps) not ready — skipping"
 fi
+
+# q47: dc2:2 on top of >=256ch int8 — the unmeasured combination from
+# VERDICT r3 weak #2. Throughput first (bench, dynamic+smooth a=0.75:
+# the seed-robust >=256ch mode per docs/PERF.md) ...
+run_item q47_bench_dc2_256dynsmooth 2400 env BENCH_DEEPCACHE=2:2 \
+    BENCH_QUANT=w8a8 BENCH_QUANT_MIN_CH=256 BENCH_QUANT_SMOOTH=0.75 \
+    python bench.py
+# ... and quality on the trained checkpoint (gated: random weights don't
+# contract approximation error — the q42 lesson)
+if [ -n "$EV_LONG" ]; then
+    run_item q47_ladder_dc2_256dynsmooth 4800 env QP_DIM=64 QP_LR=128 \
+        QP_STEPS=50 QP_CKPT="$EV_CKPT_DIR" QP_QMIN=256 \
+        QP_MODES='float32,bfloat16,w8a8dyn@0.75,w8a8dyn@0.75+dc2.2' \
+        QP_SAVE_DIR="$CHIPQ_DIR/q47_canvases" \
+        python tools/quality_probe.py
+fi
+
+# q46: non-uniform schedule throughput confirmations on the int8-deep
+# default (the quality side rides in q44)
+run_item q46_bench_dc3sched 2400 env 'BENCH_DEEPCACHE=3:2:0.5x5/0.5x2' \
+    BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
+run_item q46_bench_dc5sched 2400 env 'BENCH_DEEPCACHE=5:2:0.7x9/0.3x2' \
+    BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
 
 # q70/q72: percentile calibration estimator at >=256ch (VERDICT r2 #9 chip
 # half). RESOLVED round 7 — pinned negative: on the decider 42/43 draw,
@@ -206,15 +256,7 @@ else
     echo "[chipq] q50: checkpoint missing (run tools/evidence_retrain.sh) — skipping"
 fi
 
-# q51: the LONG-train eval — the number VERDICT r2 #4 actually asks for
-# (does SR beat its degraded input on >=2 of 3 classes at 60k steps?)
-if [ -n "$EV_LONG" ]; then
-    run_item q51_evidence_eval_longtrain 10800 env \
-        EV_CKPT="$EV_CKPT_DIR" \
-        python tools/evidence_eval.py
-else
-    echo "[chipq] q51: long-train checkpoint (>=40k steps) not ready — skipping"
-fi
+# (q51 moved up: it now runs first among the long-train items)
 
 # q60: headline bench reconfirmation on the current default
 recorded_item q60_bench_default 2400 env \

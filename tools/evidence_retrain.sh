@@ -24,6 +24,12 @@ cd "$(dirname "$0")/.."
 EV_ROOT=${EV_ROOT:-/root/repo/.evidence}
 # 60000 since round 3: the 20k draws sit on the variance edge (one wins
 # denoise, one loses all three — docs/PERF.md); q44/q51 gate at >=40k.
+# Round 4 note: after a reboot wiped .evidence (dataset + the 20k
+# partial), the round-4 relaunch used EV_STEPS=40000 — the gate minimum —
+# because 60k (~10.5h at ~1.6 steps/s) cannot finish inside one round's
+# wall clock AND leave chip time for q44/q51 themselves. Extend an
+# existing >=40k run to 60k by re-running with EV_STEPS=60000 after
+# removing .evidence/run/.train_done (training auto-resumes).
 EV_STEPS=${EV_STEPS:-60000}
 DATA="$EV_ROOT/synth_train"
 RUN="$EV_ROOT/run"
