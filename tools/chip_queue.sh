@@ -226,6 +226,20 @@ run_item q46_bench_dc3sched 2400 env 'BENCH_DEEPCACHE=3:2:0.5x5/0.5x2' \
 run_item q46_bench_dc5sched 2400 env 'BENCH_DEEPCACHE=5:2:0.7x9/0.3x2' \
     BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
 
+# q52: training-draw variance at EQUAL steps (VERDICT r3 #8/weak 5).
+# Part 1 (SR vs degraded input per class) on the 20k milestone snapshot of
+# the round-4 draw, comparable against the recorded r5-20k and r7-19k
+# draws in docs/PERF.md — three draws at ~20k steps give the spread that
+# tells us how much of any ladder delta is just the training draw.
+EV_M20="${EV_ROOT:-/root/repo/.evidence}/run/evidence_dim64_synth_step20000"
+if [ -d "$EV_M20" ]; then
+    run_item q52_evidence_eval_20k_draw 7200 env \
+        EV_CKPT="$EV_M20" EV_LADDER_IMAGES=0 \
+        python tools/evidence_eval.py
+else
+    echo "[chipq] q52: 20k milestone snapshot missing — skipping"
+fi
+
 # q70/q72: percentile calibration estimator at >=256ch (VERDICT r2 #9 chip
 # half). RESOLVED round 7 — pinned negative: on the decider 42/43 draw,
 # running-max 46.03 / p99.9 42.60 / p99.5 38.01 / p99 32.14 dB

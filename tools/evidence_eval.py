@@ -120,6 +120,10 @@ def main():
         'ddim-250,ddim-25,dpmpp-25,ddim:0.3-25,'
         'ddim:1.0-50,ddim:1.0-25').split(',')]
     ladder = [(m, int(s)) for m, s in ladder]
+    if not ladder_classes or ladder_images <= 0:
+        print('few-step ladder skipped (EV_LADDER_CLASSES/EV_LADDER_IMAGES)',
+              flush=True)
+        return
     # rows[(mode, steps)] = list of (dB vs HR, dB vs ancestral-250, seconds)
     rows = {('ancestral', base_steps): []}
     rows.update({k: [] for k in ladder})
