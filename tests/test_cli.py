@@ -42,6 +42,7 @@ def _run(conf, in_dir, out_dir, extra=()):
           *extra])
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(setup_dirs, capsys):
     conf, in_dir, out_dir = setup_dirs
     _run(conf, in_dir, out_dir)
@@ -62,6 +63,7 @@ def test_cli_end_to_end(setup_dirs, capsys):
     assert 'skip' in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_cli_jpg_rename_quirk(setup_dirs):
     """Reference only rewrites '.png' suffixes (inference.py:123) — a .jpg
     input saves under its original name. Parity kept."""
@@ -74,6 +76,7 @@ def test_cli_jpg_rename_quirk(setup_dirs):
     assert (out_dir / 'b.jpg').exists()
 
 
+@pytest.mark.slow
 def test_cli_unreadable_input_skipped(setup_dirs, capsys):
     conf, in_dir, out_dir = setup_dirs
     (in_dir / 'broken.png').write_bytes(b'not an image')
@@ -82,6 +85,7 @@ def test_cli_unreadable_input_skipped(setup_dirs, capsys):
     assert (out_dir / 'a_out.png').exists()
 
 
+@pytest.mark.slow
 def test_cli_class_cfg(setup_dirs):
     conf, in_dir, out_dir = setup_dirs
     _run(conf, in_dir, out_dir, extra=['--class_cond_scale', '1.5'])
@@ -102,6 +106,7 @@ def test_interpolation_always_bicubic():
             np.asarray(upscale_bicubic(img, 4, name)), base)
 
 
+@pytest.mark.slow
 def test_precision_flag_clears_config_quantize(tmp_path):
     """--precision fp32/bf16 must win over a YAML that sets quantize: w8a8
     (e.g. the shipped *_tpu_serving.yaml) — a user asking for fp32 must not
@@ -120,6 +125,7 @@ def test_precision_flag_clears_config_quantize(tmp_path):
     assert net.quant == 'w8a8'
 
 
+@pytest.mark.slow
 def test_cli_mesh_multichip(setup_dirs):
     """Multi-chip serving path: 8-device data mesh, tile-DP inference."""
     conf, in_dir, out_dir = setup_dirs
@@ -137,6 +143,7 @@ def test_cli_mesh_multichip(setup_dirs):
     assert (a != b).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_cli_int8_calibrate_and_smooth(setup_dirs):
     """--precision int8 --quant_calibrate --quantize_smooth_alpha runs the
     PTQ-calibration path end to end (incl. the no-QuantConv no-op when

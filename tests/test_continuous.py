@@ -251,6 +251,7 @@ def test_loss_runs_and_cond_drop():
     assert abs(float(l_kept) - float(l_dropped)) > 1e-6
 
 
+@pytest.mark.slow
 def test_loss_with_real_unet_grads():
     """End-to-end: tiny real U-Net, loss is differentiable and finite."""
     net = SRUnet(dim=8, dim_mults=(1, 2), full_attn=(False, True),

@@ -48,6 +48,7 @@ def _psnr(a, b):
 # Net-level split contract
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 @pytest.mark.parametrize('depth', [1, 2])
 def test_fresh_cache_identity(depth):
     conf = _conf3()
@@ -68,6 +69,7 @@ def test_fresh_cache_identity(depth):
                            8 * dim_mults[depth - 1])
 
 
+@pytest.mark.slow
 def test_fresh_cache_identity_quantized():
     """The split must compose with int8 convs (the serving default)."""
     conf = _conf3(quantize='w8a8')
@@ -120,6 +122,7 @@ def test_interval_one_is_exact_nontiled():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('host_loop', [False, True])
 def test_tiled_cached_matches_band_and_interval1_exact(host_loop):
     """interval=1 tiled == exact tiled bitwise; interval=3 stays in a sane
@@ -143,6 +146,7 @@ def test_tiled_cached_matches_band_and_interval1_exact(host_loop):
     assert _psnr(exact, approx) > 15.0   # same trajectory family, not junk
 
 
+@pytest.mark.slow
 def test_tiled_overlap_stride_cached():
     """DeepCache x overlapping stride: the per-parity cache stacks follow the
     odd grid's coordinate tile count. interval=1 == exact bitwise through the
@@ -176,6 +180,7 @@ def test_tiled_host_loop_matches_scan_at_interval3():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_generation_start_steps_first_visit_is_full():
     """With generation_start_steps > 0 the refresh schedule is relative to
     the first executed step — interval-1 equivalence must hold there too
@@ -321,6 +326,7 @@ def test_edm_dpmpp_cached_runs():
 
 @pytest.mark.parametrize('model', ['conditional_gaussian',
                                    'conditional_elucidated'])
+@pytest.mark.slow
 def test_family_tiled_host_loop_matches_scan_at_interval3(model):
     conf = _conf3_family(model, deep_cache_interval=3, deep_cache_depth=1)
     net = build_unet_from_config(conf)
@@ -415,6 +421,7 @@ def test_schedule_every_step_is_exact():
     assert _psnr(a, b) > 80.0
 
 
+@pytest.mark.slow
 def test_schedule_uniform_spelling_matches_interval():
     """'1.0xN' spelled as a schedule == plain interval N, bitwise, for the
     non-tiled and the tiled (host-loop) samplers."""
@@ -435,6 +442,7 @@ def test_schedule_uniform_spelling_matches_interval():
     np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
 
 
+@pytest.mark.slow
 def test_schedule_nonuniform_runs_all_families():
     """A front-sparse/back-dense schedule samples finite output in every
     family, tiled and non-tiled."""

@@ -122,6 +122,7 @@ def test_host_loop_no_stale_schedule_closure():
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_a2), atol=0)
 
 
+@pytest.mark.slow
 def test_factory_learned_schedule():
     from srgd_tpu.config import Config
     from srgd_tpu.factory import get_model

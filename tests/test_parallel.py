@@ -36,6 +36,7 @@ def test_partition_params_rules():
     assert specs['params']['tiny']['kernel'].spec == P()
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step_runs_and_matches_single_device():
     """Sharded training step must produce the same loss as unsharded."""
     from srgd_tpu.config import Config
@@ -102,6 +103,7 @@ def test_sharded_tiled_inference_matches_single_device():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_tiled_inference_overlap_stride():
     """Overlapping shifted grid under the tile-DP mesh: the coordinate-slice
     gather and ordered last-write-wins scatter must survive GSPMD (halo
@@ -124,6 +126,7 @@ def test_sharded_tiled_inference_overlap_stride():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_tiled_inference_real_net():
     """Same check with a real SRUnet: exercises GSPMD through convs,
     attention, and the tile reshapes (not just the FakeNet arithmetic)."""
@@ -154,6 +157,7 @@ def test_sharded_tiled_inference_real_net():
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, '/root/repo')
@@ -161,6 +165,7 @@ def test_dryrun_multichip_entrypoint():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_tile_dp_scaling_shards_and_matches():
     """Tile-DP scaling evidence (VERDICT r1 #6): data = 1/2/8 meshes produce
     identical outputs, the canvas genuinely shards 1/N of its rows per

@@ -92,6 +92,7 @@ def test_quant_min_channels_disables_narrow_blocks():
     np.testing.assert_array_equal(np.asarray(yf), np.asarray(yq))
 
 
+@pytest.mark.slow
 def test_calibrate_sampler_records_stats_and_stays_close():
     conf = _tiny_conf()
     qnet, params = _init_net(conf)
@@ -111,6 +112,7 @@ def test_calibrate_sampler_records_stats_and_stays_close():
     assert rel < 0.15, rel
 
 
+@pytest.mark.slow
 def test_calibrate_sampler_margin_scales_stats():
     conf = _tiny_conf()
     qnet, params = _init_net(conf)
@@ -141,6 +143,7 @@ def test_calibration_times_cover_each_family(model):
     assert np.all(np.isfinite(np.asarray(times, np.float32)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('alpha', [0.0, 0.75])
 def test_sharded_quantized_sampler_matches_single_device(alpha):
     """Tile-data-parallel quantized sampling must track single-device.
@@ -179,6 +182,7 @@ def test_sharded_quantized_sampler_matches_single_device(alpha):
     assert float(np.mean(np.abs(d) > 1e-3)) < 0.20
 
 
+@pytest.mark.slow
 def test_quantized_ddim_tiled_sample():
     """int8 convs + the DDIM sampler compose: deterministic across keys,
     valid output range."""
@@ -203,6 +207,7 @@ def test_quantized_ddim_tiled_sample():
     np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_quantized_tiled_sample_end_to_end():
     """Calibrated quantized tiled sampling runs and host-loop matches scan."""
     conf = _tiny_conf(unet_dim=8)
@@ -321,6 +326,7 @@ def test_calibrate_sampler_noop_without_quantconvs():
     assert all(jax.tree.leaves(same))
 
 
+@pytest.mark.slow
 def test_per_time_calibration_selects_nearest_stats():
     """per_time=True records one stats set per calibration time
     (quant_stats_t stacked + quant_stats_times); net_apply at exactly
@@ -350,6 +356,7 @@ def test_per_time_calibration_selects_nearest_stats():
         np.testing.assert_array_equal(np.asarray(y_t), np.asarray(y_s))
 
 
+@pytest.mark.slow
 def test_per_time_calibrated_tiled_sample_end_to_end():
     """Per-timestep calibrated params run the real (scan AND host-loop)
     tiled samplers; both modes agree."""
@@ -374,6 +381,7 @@ def test_per_time_calibrated_tiled_sample_end_to_end():
 
 @pytest.mark.parametrize('model', ['conditional_gaussian',
                                    'conditional_elucidated'])
+@pytest.mark.slow
 def test_per_time_calibration_other_families(model):
     """The per-time stats hook lives at each family's net_apply funnel —
     gaussian (integer timesteps) and elucidated (sigma inputs) sample
@@ -400,6 +408,7 @@ def test_per_time_calibration_other_families(model):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_sharded_per_time_calibrated_matches_single_device():
     """Per-time calibrated scales under the tile-data-parallel mesh: the
     select_time_stats gather (argmin + slice over the stacked stats) must
@@ -519,6 +528,7 @@ def test_cal_mode_fingerprint_invalidates_cache():
     assert fa != fb
 
 
+@pytest.mark.slow
 def test_cal_mode_calibrated_sampler_end_to_end():
     """Percentile-calibrated flagship-family net: stats land, sampling runs,
     and the recorded scales are <= the running-max scales (a percentile

@@ -54,6 +54,7 @@ def test_cache_roundtrip_global(tmp_path):
     np.testing.assert_array_equal(np.asarray(yc), np.asarray(yl))
 
 
+@pytest.mark.slow
 def test_cache_roundtrip_per_time(tmp_path):
     conf = _tiny_conf()
     _, params, pc = _calibrated(conf, per_time=True)
@@ -82,6 +83,7 @@ def test_cache_fingerprint_mismatch_returns_none(tmp_path, caplog):
     assert 'quantize_min_channels' in caplog.text
 
 
+@pytest.mark.slow
 def test_cache_rejects_corrupt_file(tmp_path):
     conf = _tiny_conf()
     _, params, _ = _calibrated(conf)
@@ -100,6 +102,7 @@ def test_save_without_calibration_raises(tmp_path):
                          calibration_fingerprint(conf))
 
 
+@pytest.mark.slow
 def test_cli_cache_skips_recalibration(tmp_path, monkeypatch):
     """Second CLI build with the same cache must load it and never call
     calibrate_sampler; a checkpoint-identity change must recalibrate."""

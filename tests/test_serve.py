@@ -276,6 +276,7 @@ def test_coalesced_super_resolve_end_to_end(server):
         server.batcher = None
 
 
+@pytest.mark.slow
 def test_server_int8_precision(tmp_path):
     """The daemon builds and serves with --precision int8 (quantized convs
     ride the same checkpoint-shaped params)."""
@@ -302,6 +303,7 @@ def test_server_int8_precision(tmp_path):
     assert srv.model_info['precision'] == 'int8'
 
 
+@pytest.mark.slow
 def test_server_fast_sampler_flags(tmp_path):
     """--continuous_sampler/--ddim_eta reach the wrapper (the documented
     eta-DDIM fast profile must be selectable from the daemon CLI)."""

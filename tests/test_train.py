@@ -383,6 +383,7 @@ def test_preprocess_modes(image_dir):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_validate_saves_samples(image_dir, tmp_path):
     from srgd_tpu.config import Config
     from srgd_tpu.factory import get_model
@@ -410,6 +411,7 @@ def test_validate_saves_samples(image_dir, tmp_path):
     assert np.isfinite(m2['psnr']) and not os.path.exists(sdir2)
 
 
+@pytest.mark.slow
 def test_train_loop_end_to_end(image_dir, tmp_path):
     """Full trainer: data -> steps -> checkpoint -> resume."""
     from srgd_tpu.config import Config
@@ -475,6 +477,7 @@ def test_train_rejects_quantized_config(tmp_path):
         train(conf, 'unused', str(tmp_path / 'q'), total_steps=1)
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path, monkeypatch):
     """A stop-at-step-2 / resume-to-4 run must reproduce the uninterrupted
     4-step run exactly — i.e. Adam moments and schedule position survive the
@@ -523,6 +526,7 @@ def test_resume_matches_uninterrupted(tmp_path, monkeypatch):
                                        atol=0, err_msg=name)
 
 
+@pytest.mark.slow
 def test_sigterm_saves_tail_checkpoint_and_resumes(tmp_path, monkeypatch):
     """A SIGTERM mid-stint (the `timeout N train.loop` pattern) must save the
     steps since the last periodic save and stop cleanly, so stop-at-4 /
@@ -611,6 +615,7 @@ def test_phase_timer():
     assert t.counts['a'] == 2 and 'a:' in t.report()
 
 
+@pytest.mark.slow
 def test_validate(image_dir):
     from srgd_tpu.config import Config
     from srgd_tpu.factory import get_model
@@ -753,6 +758,7 @@ def test_madgrad_from_config_steps_and_honors_decay_knob():
     assert not np.allclose(outs[True], outs[False])
 
 
+@pytest.mark.slow
 def test_log_dir_writes_train_log(image_dir, tmp_path):
     """conf.log_dir (reference config.py:187) produces a run log file;
     relative paths resolve inside out_dir so runs are self-contained."""
@@ -772,6 +778,7 @@ def test_log_dir_writes_train_log(image_dir, tmp_path):
     assert 'step 1 loss' in log.read_text()
 
 
+@pytest.mark.slow
 def test_train_amp_uses_bf16_compute(image_dir, tmp_path):
     """amp: true -> TPU mixed precision: bfloat16 compute, f32 master
     params (the reference trainer's autocast analog; amp_dtype fp16 is

@@ -153,7 +153,11 @@ fi
 # not silently as "not trained enough".
 EV_LONG=""
 if [ -n "$EV_CKPT_DIR" ]; then
-    EV_LONG=$(timeout 300 python - "$EV_CKPT_DIR" <<'PYEOF'
+    # read TRAINING PROGRESS from the rolling checkpoint, not the
+    # best_loss copy the evals use — the copy's 'step' is frozen at its
+    # last improvement (e.g. 38000 on a 40000-step run), which wrongly
+    # closed the gate in round 4
+    EV_LONG=$(timeout 300 python - "${EV_CKPT_DIR%_best_loss}" <<'PYEOF'
 import sys
 import jax
 jax.config.update('jax_platforms', 'cpu')  # ambient JAX_PLATFORMS=axon

@@ -127,20 +127,33 @@ def main():
     # rows[(mode, steps)] = list of (dB vs HR, dB vs ancestral-250, seconds)
     rows = {('ancestral', base_steps): []}
     rows.update({k: [] for k in ladder})
+    # per-class mean input (degraded cond) PSNR and per-mode SR PSNR, so
+    # the "SR beats its degraded input" capability claim (VERDICT r2 #4)
+    # can be made PER MODE — the best serving mode, not just ancestral
+    inp_by_class = {c: [] for c in ladder_classes}
+    mode_by_class = {}
     for label in ladder_classes:
         for i in range(ladder_images):
             hr = make_image(gen, hr_size)
             cond = degrade(hr, label, gen, cfg=dcfg)
             hr01 = hr.astype(np.float32) / 255.0
             cond01 = cond.astype(np.float32) / 255.0
+            inp_by_class[label].append(psnr(cond01, hr01))
             base, dt = sample(cond01, label, base_steps, 'ancestral')
             rows[('ancestral', base_steps)].append((psnr(base, hr01), np.inf, dt))
-            print(f'class {label} canvas {i}: ancestral {base_steps} '
+            mode_by_class.setdefault(
+                ('ancestral', base_steps), {}).setdefault(label, []).append(
+                    psnr(base, hr01))
+            print(f'class {label} canvas {i}: input {psnr(cond01, hr01):.2f} '
+                  f'dB; ancestral {base_steps} '
                   f'{psnr(base, hr01):.2f} dB vs HR ({dt:.0f}s)', flush=True)
             for mode, steps in ladder:
                 out, dt = sample(cond01, label, steps, mode)
                 rows[(mode, steps)].append(
                     (psnr(out, hr01), psnr(out, base), dt))
+                mode_by_class.setdefault(
+                    (mode, steps), {}).setdefault(label, []).append(
+                        psnr(out, hr01))
                 print(f'  {mode} {steps:3d}: {psnr(out, hr01):.2f} dB vs '
                       f'HR, {psnr(out, base):.2f} dB vs ancestral-250 '
                       f'({dt:.0f}s)', flush=True)
@@ -152,9 +165,13 @@ def main():
         vs_hr = [v[0] for v in vals]
         secs = [v[2] for v in vals]
         d = np.mean(vs_hr) - base_hr
+        beats = sum(
+            np.mean(mode_by_class[(mode, steps)][c])
+            > np.mean(inp_by_class[c]) for c in ladder_classes)
         print(f'  {mode:10s} {steps:3d}: {np.mean(vs_hr):6.2f} dB vs HR '
               f'(min {np.min(vs_hr):.2f} max {np.max(vs_hr):.2f}, '
-              f'{d:+.2f} vs anc250 mean), {np.mean(secs):5.1f} s/image',
+              f'{d:+.2f} vs anc250 mean), beats input on {beats}/'
+              f'{len(ladder_classes)} classes, {np.mean(secs):5.1f} s/image',
               flush=True)
 
 
