@@ -119,8 +119,11 @@ def main():
             # persist each canvas as it lands: the TPU relay can die
             # mid-ladder, and completed modes are capture-it-now data
             os.makedirs(os.environ['QP_SAVE_DIR'], exist_ok=True)
+            # sanitize: schedule modes contain '/' ('+dc3.2@0.5x5/0.5x2')
+            # which np.save would treat as a subdirectory
+            fname = mode.replace('@', '_a').replace('/', '-')
             np.save(os.path.join(os.environ['QP_SAVE_DIR'],
-                                 f'{mode.replace("@", "_a")}.npy'), out)
+                                 f'{fname}.npy'), out)
         # compare-as-you-go for the same reason (the reference mode is
         # always modes[0], so it lands before every comparison target)
         ref = modes[0]
