@@ -230,6 +230,36 @@ run_item q46_bench_dc3sched 2400 env 'BENCH_DEEPCACHE=3:2:0.5x5/0.5x2' \
 run_item q46_bench_dc5sched 2400 env 'BENCH_DEEPCACHE=5:2:0.7x9/0.3x2' \
     BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
 
+# q53: wider-n eval on the 60k checkpoint — the round-4 "wins every
+# canvas whose input is below ~28.5 dB" break-even finding rests on 6
+# canvases; 5/class for part 1 and 4/class for the ladder firms it up.
+# Gated on the rolling checkpoint reaching 60k (the round-4 extension).
+EV_60K=""
+if [ -n "$EV_CKPT_DIR" ]; then
+    EV_60K=$(timeout 300 python - "${EV_CKPT_DIR%_best_loss}" <<'PYEOF'
+import sys
+import jax
+jax.config.update('jax_platforms', 'cpu')
+try:
+    from srgd_tpu.checkpoint.io import restore_params
+    step = int(restore_params(sys.argv[1])['step'])
+    print(f'[chipq] 60k gate: checkpoint step {step}', file=sys.stderr)
+except Exception as e:
+    print(f'[chipq] 60k gate BROKEN: {type(e).__name__}: {e}',
+          file=sys.stderr)
+    step = 0
+print('yes' if step >= 60000 else '')
+PYEOF
+) || echo "[chipq] 60k gate timed out/failed — treating as not-ready" >&2
+fi
+if [ -n "$EV_60K" ]; then
+    run_item q53_evidence_eval_60k_wide 10800 env \
+        EV_CKPT="$EV_CKPT_DIR" EV_IMAGES=5 EV_LADDER_IMAGES=4 \
+        python tools/evidence_eval.py
+else
+    echo "[chipq] q53: 60k checkpoint not ready — skipping"
+fi
+
 # q52: training-draw variance at EQUAL steps (VERDICT r3 #8/weak 5).
 # Part 1 (SR vs degraded input per class) on the 20k milestone snapshot of
 # the round-4 draw, comparable against the recorded r5-20k and r7-19k
