@@ -204,3 +204,51 @@ def test_tile_dp_scaling_shards_and_matches():
 
     np.testing.assert_allclose(results[2], results[1], atol=2e-4)
     np.testing.assert_allclose(results[8], results[1], atol=2e-4)
+
+
+@pytest.mark.slow
+def test_sharded_tiled_deep_cache_matches_single_device():
+    """The promoted serving fast profile runs DeepCache INSIDE the tile-DP
+    mesh: per-tile cache stacks are threaded through the scan state, so
+    under GSPMD they shard on the tile axis alongside the tiles themselves.
+    Pin that the sharded dc2:2 canvas equals the single-device dc2:2 canvas
+    (same float tolerance as the exact-path parity test above) and that
+    interval 1 stays bitwise-exact against the exact sampler under the
+    SAME mesh."""
+    from srgd_tpu.diffusion.continuous import ContinuousDiffusion
+    from srgd_tpu.nn.unet import SRUnet
+
+    net = SRUnet(dim=8, dim_mults=(1, 2), full_attn=(False, True),
+                 learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                 num_classes=3)
+    rng = jax.random.PRNGKey(5)
+    params = net.init(rng, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)),
+                      cond=jnp.zeros((1, 32, 32, 3)),
+                      class_label=jnp.zeros((1,), jnp.int32))
+    cond01 = jax.random.uniform(jax.random.PRNGKey(6), (1, 120, 120, 3))
+    label = jnp.asarray([1])
+
+    def run(d, p, c):
+        fn = lambda p_, c_: d.tiled_sample(p_, rng, c_, label, tile_size=32,
+                                           batch_size=8)
+        return jax.jit(fn)(p, c)
+
+    dc = ContinuousDiffusion(net=net, image_size=32, num_sample_steps=4,
+                             deep_cache_interval=2, deep_cache_depth=1)
+    want = np.asarray(run(dc, params, cond01))
+
+    mesh = make_mesh((8, 1))
+    p_rep = jax.device_put(params, replicated(mesh))
+    c_sh = jax.device_put(cond01, canvas_sharding(mesh))
+    with mesh:
+        got = np.asarray(run(dc, p_rep, c_sh))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # interval 1 == exact, bitwise, under the mesh
+    d1 = ContinuousDiffusion(net=net, image_size=32, num_sample_steps=4,
+                             deep_cache_interval=1, deep_cache_depth=1)
+    dx = ContinuousDiffusion(net=net, image_size=32, num_sample_steps=4)
+    with mesh:
+        a = np.asarray(run(d1, p_rep, c_sh))
+        b = np.asarray(run(dx, p_rep, c_sh))
+    np.testing.assert_array_equal(a, b)
