@@ -20,4 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent XLA compilation cache (gitignored): the fast tier's wall time
+# is dominated by recompiling the same tiny jitted programs every run on
+# this 1-core box — with a warm cache `pytest -m "not slow"` drops from
+# ~15 min to well under 10. Keyed by HLO hash, so code changes that alter
+# a program recompile exactly that program; `rm -rf .jax_cache` resets.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.jax_cache')
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.4)
+
 assert len(jax.devices()) == 8, jax.devices()
