@@ -380,9 +380,11 @@ def build_model_and_opts(args):
 
 def main(argv=None):
     from srgd_tpu.utils.platform import (assert_accelerator_reachable,
+                                         enable_compile_cache,
                                          sync_platform_env)
     sync_platform_env()
     assert_accelerator_reachable()
+    enable_compile_cache()  # persistent XLA compile cache (SRGD_COMPILE_CACHE)
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(name)s %(levelname)s %(message)s')
     args = parse_args(argv)

@@ -635,9 +635,11 @@ class Server:
 
 def main(argv=None):
     from srgd_tpu.utils.platform import (assert_accelerator_reachable,
+                                         enable_compile_cache,
                                          sync_platform_env)
     sync_platform_env()
     assert_accelerator_reachable()
+    enable_compile_cache()  # persistent XLA compile cache (SRGD_COMPILE_CACHE)
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(name)s %(levelname)s %(message)s')
     args = parse_args(argv)

@@ -371,6 +371,10 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
 
     os.makedirs(out_dir, exist_ok=True)
     losses = []
+    # resume-aware: milestones at or before the restored step are presumed
+    # already snapshotted by the stint that crossed them
+    milestone = int(os.environ.get('TRAIN_MILESTONE_EVERY', 20000))
+    last_milestone = int(state.step) // milestone if milestone > 0 else 0
     timer = PhaseTimer()
     t0 = time.time()
     it = _DevicePrefetcher(iter(ds), bs)
@@ -433,12 +437,16 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
                 # variance at 20k steps (~2-4 dB run to run, docs/PERF.md)
                 # is unquantifiable when the rolling checkpoint is the only
                 # surviving artifact. Cheap: a file copy of the checkpoint
-                # just written.
-                milestone = int(os.environ.get('TRAIN_MILESTONE_EVERY',
-                                               20000))
-                if milestone > 0 and step % milestone == 0:
+                # just written. Snapshots on BOUNDARY CROSSING, not exact
+                # coincidence (ADVICE r4): when save_every does not divide
+                # the milestone (e.g. save_every_epoch), the first save at
+                # or past each multiple takes the snapshot, named by its
+                # actual step so an off-boundary copy can't masquerade as
+                # an exact one.
+                if milestone > 0 and step // milestone > last_milestone:
+                    last_milestone = step // milestone
                     from srgd_tpu.checkpoint.io import copy_checkpoint
-                    with timer.phase('save_best'):
+                    with timer.phase('save_milestone'):
                         copy_checkpoint(ckpt_dir, f'{ckpt_dir}_step{step}')
                     logger.info('milestone snapshot -> %s_step%d',
                                 ckpt_dir, step)
@@ -455,9 +463,11 @@ def _train_inner(conf, data_dir, out_dir, total_steps, log_every, save_every,
 
 def main(argv=None):
     from srgd_tpu.utils.platform import (assert_accelerator_reachable,
+                                         enable_compile_cache,
                                          sync_platform_env)
     sync_platform_env()
     assert_accelerator_reachable()
+    enable_compile_cache()  # persistent XLA compile cache (SRGD_COMPILE_CACHE)
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(name)s %(message)s')
     p = argparse.ArgumentParser()

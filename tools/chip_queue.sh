@@ -13,27 +13,30 @@
 #
 # Measured-and-recorded items (q10-q40 per-time calibration ladders,
 # q32-q39 DeepCache, q42/q50 trained-weights ladders/eval, q60 bench
-# reconfirm, q70 percentile cal, q80-q82 cold start — all in docs/PERF.md)
-# are skipped by default: their numbers survive in the docs even though
-# reboots keep wiping the markers/artifacts. Set CHIPQ_FORCE=1 to
-# re-measure them. Still OUTSTANDING (gated on the LONG-train evidence
-# checkpoint; round 4 rebased the retrain at EV_STEPS=40000 — the >=40k
-# gate minimum — because a reboot wiped .evidence and 60k cannot finish
-# inside one round's wall clock on this chip; the trainer auto-resumes
-# from .evidence/run):
-#   q51  evidence_eval at >=40k steps — the VERDICT r2 #4 number (does
-#        SR beat its degraded input on >=2 of 3 classes?) PLUS the
-#        multi-class multi-canvas few-step ladder (VERDICT r3 #3)
-#   q44  DeepCache ladder refresh at >=40k steps (does the dc2:2 verdict
-#        hold as the model converges?), now incl. non-uniform refresh
-#        schedules (VERDICT r3 #5)
-#   q47  dc2:2 on top of >=256ch dynamic+smooth int8 (the unmeasured
-#        combination from VERDICT r3 weak #2) — bench + trained-quality
-#   q46  non-uniform DeepCache schedule throughput confirmations
+# reconfirm, q70 percentile cal, q80-q82 cold start, and — since round 4
+# — q44/q46/q47 DeepCache-combination ladders, q51/q52/q53 trained-eval
+# incl. the full 60k train + wide eval: ALL in docs/PERF.md) are skipped
+# by default: their numbers survive in the docs even though reboots keep
+# wiping the markers/artifacts. Set CHIPQ_FORCE=1 to re-measure them.
+# OUTSTANDING round-5 items (VERDICT r4), in run order:
+#   q91  persistent compilation cache on the TPU entry points: one
+#        controlled cold/warm bench restart pair (VERDICT r4 #2)
+#   q90  classifier-free guidance utility ladder on the 60k trained
+#        checkpoint + wrong-label control (VERDICT r4 #1 — the namesake
+#        mechanism has zero trained-weights utility evidence)
+#   q95  bench with the validated fast profile second metric (r4 #4)
+#   q92  a/b/c: train the FLAGSHIP-WIDTH dim-128 net ~12k steps on the
+#        evidence pipeline, then re-gate the dc2:2 / int8cal-deep512 /
+#        few-step-eta ship defaults on trained flagship features (r4 #3)
+#   q93  a/b: second-draw dim-64 retrain to 40k + eta few-step ladder —
+#        two-draw robustness for the eta-1.0 serving default (r4 #7)
+#   q94  synthesized flagship ckpt through the serve daemon on-device
+#        (tools/serve_ckpt_probe.sh, r4 #8)
 set -u
 cd "$(dirname "$0")/.."
 # .chipq (gitignored, under the repo) survives reboots; /tmp does not.
 CHIPQ_DIR=${CHIPQ_DIR:-.chipq}
+export CHIPQ_DIR   # q91's bash -c child resolves "$CHIPQ_DIR" itself
 mkdir -p "$CHIPQ_DIR"
 
 echo "[chipq] preflight: checking the TPU relay (<=120s)..."
@@ -174,6 +177,114 @@ PYEOF
 ) || echo "[chipq] long-train gate timed out/failed (rc=$?) — treating as not-ready" >&2
 fi
 
+############################################################
+# ROUND 5 (VERDICT r4) — live items, highest priority first
+############################################################
+
+# q91: persistent compilation cache cold/warm pair (VERDICT r4 #2).
+# BENCH_r04 spent 313.8 s in compile+first vs 2.9 s measuring; the test
+# suite's .jax_cache recipe was never tried against the axon relay. A
+# DEDICATED cache dir is wiped first so "cold" is honest; the second run
+# is a fresh process against the now-warm cache. Compare the two
+# 'compile+first' phase lines. BENCH_PROFILE= keeps the runs comparable
+# with BENCH_r04 (single-metric).
+run_item q91_compile_cache_coldwarm 7200 bash -c '
+    rm -rf "$CHIPQ_DIR/q91_cache"
+    echo "=== COLD (empty compile cache) ==="
+    SRGD_COMPILE_CACHE="$CHIPQ_DIR/q91_cache" BENCH_PROFILE= \
+        BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py || exit 1
+    echo "=== WARM (fresh process, same cache dir) ==="
+    SRGD_COMPILE_CACHE="$CHIPQ_DIR/q91_cache" BENCH_PROFILE= \
+        BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
+'
+
+# q90: classifier-free guidance utility ladder on the 60k checkpoint
+# (VERDICT r4 #1 — the reference's NAMESAKE mechanism, model.py:3138-3158,
+# has golden-pinned math but zero trained-weights utility evidence).
+# Ladders class_cond_scale {1.5,2,3} (+ 2@warmup10) and cond_scale
+# {1.5,2} at the validated eta1-ddim-50 profile on all three classes,
+# with wrong-label controls at scale 1 and 2. Defaults overridden to all
+# 3 classes so the per-class table covers the winning class too.
+if [ -n "$EV_LONG" ]; then
+    run_item q90_cfg_ladder 12600 env EV_CKPT="$EV_CKPT_DIR" \
+        EV_IMAGES=0 EV_LADDER_CLASSES='' EV_CFG=1 EV_CFG_CLASSES='0,1,2' \
+        SRGD_COMPILE_CACHE="$CHIPQ_DIR/q91_cache" \
+        python tools/evidence_eval.py
+else
+    echo "[chipq] q90: long-train checkpoint not ready — skipping"
+fi
+
+# q95: the round-5 bench contract — headline + the validated fast-profile
+# second metric (eta1-ddim25, VERDICT r4 #4) in one run, exactly what the
+# driver will execute at round end. Also warms the default .jax_cache.
+run_item q95_bench_fast_profile 7200 env \
+    BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
+
+# q92a: train the FLAGSHIP-WIDTH dim-128 net on the evidence pipeline
+# (VERDICT r4 #3: every trained gate is dim-64; DeepCache proved
+# trained-vs-random FLIPS verdicts). 12k steps ~= the dim-64 draws'
+# variance-edge budget; auto-resumes, so a timeout/relay death retries
+# from the last save on the next queue pass.
+RUN128="${EV_ROOT:-/root/repo/.evidence}/run128"
+CKPT128="$RUN128/evidence_dim128_synth_best_loss"
+if [ -d "${EV_ROOT:-/root/repo/.evidence}/synth_train" ]; then
+    run_item q92a_train_dim128 12600 env TRAIN_MILESTONE_EVERY=6000 \
+        python -m srgd_tpu.train.loop \
+        -c conf/trained_evidence_dim128_synth.yaml \
+        --data_dir "${EV_ROOT:-/root/repo/.evidence}/synth_train" \
+        --out_dir "$RUN128" \
+        --steps 12000 --log_every 200 --save_every 1000
+else
+    echo "[chipq] q92a: dataset missing (tools/evidence_retrain.sh phase 1) — skipping"
+fi
+
+# q92b: re-gate the ship defaults on trained dim-128 features — bf16,
+# int8cal-deep512 (w8a8 at QP_QMIN=512), dc2:2 on both, dc3:2 — all vs
+# fp32 on the SAME trained weights.
+if [ -d "$CKPT128" ]; then
+    run_item q92b_ladder_dim128_trained 10800 env \
+        QP_CONF=conf/trained_evidence_dim128_synth.yaml \
+        QP_CKPT="$CKPT128" QP_LR=128 QP_STEPS=50 QP_QMIN=512 \
+        QP_MODES='float32,bfloat16,w8a8,w8a8+dc2.2,bfloat16+dc2.2,bfloat16+dc3.2' \
+        QP_SAVE_DIR="$CHIPQ_DIR/q92_canvases" \
+        python tools/quality_probe.py
+    # q92c: few-step eta ladder + SR-vs-input per class at dim 128
+    run_item q92c_eta_ladder_dim128 12600 env EV_CKPT="$CKPT128" \
+        EV_CONF=conf/trained_evidence_dim128_synth.yaml \
+        EV_IMAGES=2 EV_LADDER_IMAGES=1 \
+        EV_LADDER_MODES='ddim-25,dpmpp-25,ddim:1.0-50,ddim:1.0-25' \
+        python tools/evidence_eval.py
+else
+    echo "[chipq] q92b/c: dim-128 trained checkpoint not ready — skipping"
+fi
+
+# q93a: SECOND-DRAW dim-64 retrain (seed 1) to the 40k gate minimum
+# (VERDICT r4 #7: the eta-1.0 serving default is load-bearing on one
+# training draw). Auto-resumes like q92a.
+RUN2="${EV_ROOT:-/root/repo/.evidence}/run_draw2"
+CKPT2="$RUN2/evidence_dim64_draw2_best_loss"
+if [ -d "${EV_ROOT:-/root/repo/.evidence}/synth_train" ]; then
+    run_item q93a_train_draw2 18000 \
+        python -m srgd_tpu.train.loop \
+        -c conf/trained_evidence_dim64_draw2.yaml \
+        --data_dir "${EV_ROOT:-/root/repo/.evidence}/synth_train" \
+        --out_dir "$RUN2" \
+        --steps 40000 --log_every 200 --save_every 1000
+fi
+
+# q93b: the q51-style eta few-step ladder on the second draw
+if [ -d "$CKPT2" ]; then
+    run_item q93b_eta_ladder_draw2 10800 env EV_CKPT="$CKPT2" \
+        EV_IMAGES=0 EV_LADDER_IMAGES=2 \
+        EV_LADDER_MODES='ddim-25,dpmpp-25,ddim:1.0-50,ddim:1.0-25' \
+        python tools/evidence_eval.py
+else
+    echo "[chipq] q93b: second-draw checkpoint not ready — skipping"
+fi
+
+# q94: synthesized flagship ckpt through the serve daemon ON-DEVICE
+run_item q94_serve_flagship_ckpt 3600 bash tools/serve_ckpt_probe.sh
+
 # q44: DeepCache + few-step ladder refresh on the LONG-trained checkpoint
 # (does the q42 dc2:2 verdict and the q50 eta1-ddim25 winner hold as the
 # model converges further?)
@@ -183,7 +294,7 @@ fi
 # multi-canvas few-step ladder (VERDICT r3 #3) whose summary table is the
 # time-to-quality evidence for the validated serving profile.
 if [ -n "$EV_LONG" ]; then
-    run_item q51_evidence_eval_longtrain 10800 env \
+    recorded_item q51_evidence_eval_longtrain 10800 env \
         EV_CKPT="$EV_CKPT_DIR" \
         python tools/evidence_eval.py
 else
@@ -198,7 +309,7 @@ fi
 #   dc3.2@0.5x5/0.5x2 = 18 refreshes ~ uniform dc3.2's 17
 #   dc5.2@0.7x9/0.3x2 = 12 refreshes, between dc3 (17) and dc5 (10)
 if [ -n "$EV_LONG" ]; then
-    run_item q44_ladder_dc_longtrain 7200 env QP_DIM=64 QP_LR=128 QP_STEPS=50 \
+    recorded_item q44_ladder_dc_longtrain 7200 env QP_DIM=64 QP_LR=128 QP_STEPS=50 \
         QP_CKPT="$EV_CKPT_DIR" \
         QP_MODES='float32,bfloat16,bfloat16+dc2.2,bfloat16+dc3.2,bfloat16+dc3.2@0.5x5/0.5x2,bfloat16+dc5.2@0.7x9/0.3x2' \
         QP_SAVE_DIR="$CHIPQ_DIR/q44_canvases" \
@@ -210,13 +321,13 @@ fi
 # q47: dc2:2 on top of >=256ch int8 — the unmeasured combination from
 # VERDICT r3 weak #2. Throughput first (bench, dynamic+smooth a=0.75:
 # the seed-robust >=256ch mode per docs/PERF.md) ...
-run_item q47_bench_dc2_256dynsmooth 2400 env BENCH_DEEPCACHE=2:2 \
+recorded_item q47_bench_dc2_256dynsmooth 2400 env BENCH_DEEPCACHE=2:2 \
     BENCH_QUANT=w8a8 BENCH_QUANT_MIN_CH=256 BENCH_QUANT_SMOOTH=0.75 \
     python bench.py
 # ... and quality on the trained checkpoint (gated: random weights don't
 # contract approximation error — the q42 lesson)
 if [ -n "$EV_LONG" ]; then
-    run_item q47_ladder_dc2_256dynsmooth 4800 env QP_DIM=64 QP_LR=128 \
+    recorded_item q47_ladder_dc2_256dynsmooth 4800 env QP_DIM=64 QP_LR=128 \
         QP_STEPS=50 QP_CKPT="$EV_CKPT_DIR" QP_QMIN=256 \
         QP_MODES='float32,bfloat16,w8a8dyn@0.75,w8a8dyn@0.75+dc2.2' \
         QP_SAVE_DIR="$CHIPQ_DIR/q47_canvases" \
@@ -225,9 +336,9 @@ fi
 
 # q46: non-uniform schedule throughput confirmations on the int8-deep
 # default (the quality side rides in q44)
-run_item q46_bench_dc3sched 2400 env 'BENCH_DEEPCACHE=3:2:0.5x5/0.5x2' \
+recorded_item q46_bench_dc3sched 2400 env 'BENCH_DEEPCACHE=3:2:0.5x5/0.5x2' \
     BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
-run_item q46_bench_dc5sched 2400 env 'BENCH_DEEPCACHE=5:2:0.7x9/0.3x2' \
+recorded_item q46_bench_dc5sched 2400 env 'BENCH_DEEPCACHE=5:2:0.7x9/0.3x2' \
     BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
 
 # q53: wider-n eval on the 60k checkpoint — the round-4 "wins every
@@ -253,7 +364,7 @@ PYEOF
 ) || echo "[chipq] 60k gate timed out/failed — treating as not-ready" >&2
 fi
 if [ -n "$EV_60K" ]; then
-    run_item q53_evidence_eval_60k_wide 10800 env \
+    recorded_item q53_evidence_eval_60k_wide 10800 env \
         EV_CKPT="$EV_CKPT_DIR" EV_IMAGES=5 EV_LADDER_IMAGES=4 \
         python tools/evidence_eval.py
 else
@@ -267,7 +378,7 @@ fi
 # tells us how much of any ladder delta is just the training draw.
 EV_M20="${EV_ROOT:-/root/repo/.evidence}/run/evidence_dim64_synth_step20000"
 if [ -d "$EV_M20" ]; then
-    run_item q52_evidence_eval_20k_draw 7200 env \
+    recorded_item q52_evidence_eval_20k_draw 7200 env \
         EV_CKPT="$EV_M20" EV_LADDER_IMAGES=0 \
         python tools/evidence_eval.py
 else

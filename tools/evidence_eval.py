@@ -12,6 +12,15 @@ and reports:
      PSNR vs ground truth per mode — evidence for the continuous-family
      DDIM serving knob ("usable at far fewer steps").
 
+Since round 5 it also carries the CLASSIFIER-FREE GUIDANCE ladder
+(VERDICT r4 #1): the reference's namesake mechanism
+(/root/reference/model.py:3138-3158; inference_sample.sh:8-10 ships a
+class_cond_scale knob) had golden-pinned math but zero trained-weights
+utility evidence. Section 3 ladders class_cond_scale / cond_scale /
+guidance warmup on held-out canvases and runs a wrong-label control
+(does the class embedding carry signal at all?). Enable with EV_CFG=1;
+skip sections 1/2 with EV_IMAGES=0 / EV_LADDER_CLASSES=''.
+
 Env: EV_CKPT (/tmp/evidence_run/evidence_dim64_synth), EV_CONF
 (conf/trained_evidence_dim64_synth.yaml), EV_HR (512 — HR eval size),
 EV_IMAGES (2), EV_SEED (12345 — held-out generator seed).
@@ -26,9 +35,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from srgd_tpu.utils.platform import sync_platform_env
+from srgd_tpu.utils.platform import enable_compile_cache, sync_platform_env
 
 sync_platform_env()   # honor JAX_PLATFORMS=cpu for CPU direction checks
+enable_compile_cache()   # each (scale, warmup) point is its own program
 
 
 def psnr(a, b):
@@ -78,17 +88,21 @@ def main():
     dcfg = DegradeConfig.from_conf(conf)
     rng = jax.random.PRNGKey(71)
 
-    def sample(cond01, label, steps, sampler):
+    def sample(cond01, label, steps, sampler, **guidance):
         t0 = time.time()
         out = wrappers[sampler].tiled_sample(
             params, rng, jnp.asarray(cond01)[None], jnp.asarray([label]),
             batch_size=8, tile_size=tile, num_sample_steps=steps,
-            host_loop=True)
+            host_loop=True, **guidance)
         out = np.asarray(out[0], np.float32)
         return out, time.time() - t0
 
     # -- 1. SR beats its degraded input, per class -------------------------
     classes = {0: 'realsr', 1: 'denoise', 2: 'sr'}
+    if n_images <= 0:
+        classes = {}
+        print('per-class input-vs-SR section skipped (EV_IMAGES=0)',
+              flush=True)
     for label, cname in classes.items():
         d_in, d_sr = [], []
         for i in range(n_images):
@@ -120,11 +134,15 @@ def main():
         'ddim-250,ddim-25,dpmpp-25,ddim:0.3-25,'
         'ddim:1.0-50,ddim:1.0-25').split(',')]
     ladder = [(m, int(s)) for m, s in ladder]
+    # the baseline runs unconditionally — drop it from the parsed ladder
+    # so EV_LADDER_MODES including 'ancestral-<base>' doesn't reset its
+    # bucket and double-sample every canvas (ADVICE r4)
+    ladder = [k for k in ladder if k != ('ancestral', base_steps)]
     if not ladder_classes or ladder_images <= 0:
         print('few-step ladder skipped (EV_LADDER_CLASSES/EV_LADDER_IMAGES)',
               flush=True)
-        return
-    # rows[(mode, steps)] = list of (dB vs HR, dB vs ancestral-250, seconds)
+        return run_cfg_ladder(sample, hr_size, gen, dcfg)
+    # rows[(mode, steps)] = list of (dB vs HR, dB vs baseline, seconds)
     rows = {('ancestral', base_steps): []}
     rows.update({k: [] for k in ladder})
     # per-class mean input (degraded cond) PSNR and per-mode SR PSNR, so
@@ -155,7 +173,7 @@ def main():
                     (mode, steps), {}).setdefault(label, []).append(
                         psnr(out, hr01))
                 print(f'  {mode} {steps:3d}: {psnr(out, hr01):.2f} dB vs '
-                      f'HR, {psnr(out, base):.2f} dB vs ancestral-250 '
+                      f'HR, {psnr(out, base):.2f} dB vs ancestral-{base_steps} '
                       f'({dt:.0f}s)', flush=True)
     n = len(rows[('ancestral', base_steps)])
     print(f'\nfew-step summary over {n} canvases '
@@ -170,9 +188,99 @@ def main():
             > np.mean(inp_by_class[c]) for c in ladder_classes)
         print(f'  {mode:10s} {steps:3d}: {np.mean(vs_hr):6.2f} dB vs HR '
               f'(min {np.min(vs_hr):.2f} max {np.max(vs_hr):.2f}, '
-              f'{d:+.2f} vs anc250 mean), beats input on {beats}/'
+              f'{d:+.2f} vs anc{base_steps} mean), beats input on {beats}/'
               f'{len(ladder_classes)} classes, {np.mean(secs):5.1f} s/image',
               flush=True)
+    run_cfg_ladder(sample, hr_size, gen, dcfg)
+
+
+def run_cfg_ladder(sample, hr_size, gen, dcfg):
+    """Section 3 — classifier-free guidance utility ladder (VERDICT r4 #1).
+
+    Per (class, canvas): a no-guidance baseline (all scales 1.0), then
+    each guidance variant, reporting PSNR vs HR, delta vs the baseline,
+    and wall time (CFG != 1 doubles net calls per step,
+    srgd_tpu/diffusion/continuous.py:268 = reference model.py:3138-3158).
+    Controls: wrong-label runs (label permuted (l+1)%3) pin whether the
+    class embedding carries class-specific signal — if wrong-label ties
+    right-label, guidance scale sweeps are meaningless.
+
+    Env: EV_CFG=1 enables; EV_CFG_CLASSES ('0,2' — the classes the model
+    ties/loses at scale 1, docs/PERF.md q53), EV_CFG_IMAGES (2),
+    EV_CFG_MODE ('ddim:1.0-50' — the validated serving profile),
+    EV_CFG_CLASS_SCALES ('1.5,2,3'), EV_CFG_WARM ('2@10' —
+    scale@class_guidance_start_steps points), EV_CFG_COND_SCALES
+    ('1.5,2' — LR-condition axis), EV_CFG_WRONG ('1,2' — class scales
+    run with the WRONG label).
+    """
+    if os.environ.get('EV_CFG', '') != '1':
+        return
+    from tools.make_synth_dataset import make_image
+    from srgd_tpu.train.data import degrade
+
+    cfg_classes = [int(c) for c in os.environ.get(
+        'EV_CFG_CLASSES', '0,2').split(',') if c != '']
+    cfg_images = int(os.environ.get('EV_CFG_IMAGES', 2))
+    mode, _, s = os.environ.get('EV_CFG_MODE', 'ddim:1.0-50').rpartition('-')
+    steps = int(s)
+    class_scales = [float(v) for v in os.environ.get(
+        'EV_CFG_CLASS_SCALES', '1.5,2,3').split(',') if v]
+    warm = [tuple(map(float, v.split('@'))) for v in os.environ.get(
+        'EV_CFG_WARM', '2@10').split(',') if v]
+    cond_scales = [float(v) for v in os.environ.get(
+        'EV_CFG_COND_SCALES', '1.5,2').split(',') if v]
+    wrong = [float(v) for v in os.environ.get(
+        'EV_CFG_WRONG', '1,2').split(',') if v]
+
+    # (tag, label_permute, guidance kwargs); baseline first
+    variants = [('base s=1', False, {})]
+    variants += [(f'class s={v:g}', False, {'class_cond_scale': v})
+                 for v in class_scales]
+    variants += [(f'class s={v:g}@w{int(w)}', False,
+                  {'class_cond_scale': v, 'class_guidance_start_steps': int(w)})
+                 for v, w in warm]
+    variants += [(f'cond s={v:g}', False, {'cond_scale': v})
+                 for v in cond_scales]
+    variants += [(f'WRONG-label s={v:g}', True,
+                  {'class_cond_scale': v} if v != 1.0 else {})
+                 for v in wrong]
+
+    print(f'\nCFG ladder ({mode}-{steps}, classes {cfg_classes}, '
+          f'{cfg_images} canvases each):', flush=True)
+    # res[tag][class] = list of dB vs HR; base_res for deltas
+    res = {tag: {} for tag, _, _ in variants}
+    secs = {tag: [] for tag, _, _ in variants}
+    inp = {c: [] for c in cfg_classes}
+    for label in cfg_classes:
+        for i in range(cfg_images):
+            hr = make_image(gen, hr_size)
+            cond = degrade(hr, label, gen, cfg=dcfg)
+            hr01 = hr.astype(np.float32) / 255.0
+            cond01 = cond.astype(np.float32) / 255.0
+            inp[label].append(psnr(cond01, hr01))
+            print(f'class {label} canvas {i}: input '
+                  f'{inp[label][-1]:.2f} dB', flush=True)
+            for tag, permute, gk in variants:
+                lbl = (label + 1) % 3 if permute else label
+                out, dt = sample(cond01, lbl, steps, mode, **gk)
+                res[tag].setdefault(label, []).append(psnr(out, hr01))
+                secs[tag].append(dt)
+                print(f'  {tag:18s}: {res[tag][label][-1]:.2f} dB vs HR '
+                      f'({dt:.0f}s)', flush=True)
+    print(f'\nCFG summary ({mode}-{steps}; delta vs the same-canvas '
+          f'no-guidance baseline):', flush=True)
+    base = res['base s=1']
+    for tag, _, _ in variants:
+        per_cls = []
+        for c in cfg_classes:
+            d = np.mean(res[tag][c]) - np.mean(base[c])
+            per_cls.append(f'class{c} {np.mean(res[tag][c]):6.2f} dB '
+                           f'({d:+.2f})')
+        beats = sum(np.mean(res[tag][c]) > np.mean(inp[c])
+                    for c in cfg_classes)
+        print(f'  {tag:18s}: ' + ' | '.join(per_cls) +
+              f' | beats input {beats}/{len(cfg_classes)}, '
+              f'{np.mean(secs[tag]):5.1f} s/image', flush=True)
 
 
 if __name__ == '__main__':

@@ -27,9 +27,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from srgd_tpu.utils.platform import sync_platform_env
+from srgd_tpu.utils.platform import enable_compile_cache, sync_platform_env
 
 sync_platform_env()   # honor JAX_PLATFORMS=cpu for CPU direction checks
+enable_compile_cache()   # ladders re-run the same per-mode programs
 
 import jax
 import jax.numpy as jnp

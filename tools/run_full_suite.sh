@@ -1,0 +1,19 @@
+#!/bin/bash
+# Round hygiene (VERDICT r4 #6): a dated, COMMITTED green-run record of the
+# FULL suite (fast + slow tiers, 284+ collected) each round, so the fast
+# tier's `-m "not slow"` deselection can't silently hide rot in the slow
+# tests (reference goldens, trainer e2e, sharded tiled parity).
+#
+# Usage: bash tools/run_full_suite.sh    (CPU-only; ~65-80 min with a warm
+# .jax_cache on this 1-core box) — then commit the .ci/ log it prints.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p .ci
+STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+LOG=".ci/full_suite_${STAMP}.log"
+{
+    echo "# full suite @ ${STAMP}  HEAD=$(git rev-parse --short HEAD)"
+    python -m pytest tests/ -q 2>&1
+    echo "pytest rc=$?"
+} | tee "$LOG"
+echo "[full-suite] record written: $LOG (commit it)"
