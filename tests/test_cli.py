@@ -159,3 +159,44 @@ def test_cli_int8_calibrate_and_smooth(setup_dirs):
         '--precision', 'int8', '--quant_calibrate',
         '--quantize_min_channels', '4096'])
     assert (out_dir / 'a_out.png').exists()
+
+
+def test_evidence_cfg_ladder_variants(monkeypatch, capsys):
+    """The q90 CFG measurement harness (tools/evidence_eval.run_cfg_ladder)
+    builds the variant grid from env and routes each run correctly: the
+    baseline carries no guidance kwargs, scale variants carry exactly one
+    CFG axis (the dual-CFG guard forbids both), warmup points carry the
+    start-steps knob, and wrong-label controls permute the class label."""
+    import tools.evidence_eval as ev
+
+    for k, v in {'EV_CFG': '1', 'EV_CFG_CLASSES': '1', 'EV_CFG_IMAGES': '1',
+                 'EV_CFG_MODE': 'ddim:1.0-6', 'EV_CFG_CLASS_SCALES': '2',
+                 'EV_CFG_WARM': '2@3', 'EV_CFG_COND_SCALES': '1.5',
+                 'EV_CFG_WRONG': '1,2'}.items():
+        monkeypatch.setenv(k, v)
+
+    calls = []
+
+    def fake_sample(cond01, label, steps, mode, **gk):
+        calls.append((label, steps, mode, gk))
+        return np.asarray(cond01, np.float32), 0.0
+
+    from srgd_tpu.train.data import DegradeConfig
+    from srgd_tpu.config import Config
+    gen = np.random.default_rng(0)
+    ev.run_cfg_ladder(fake_sample, 32, gen, DegradeConfig.from_conf(Config()))
+
+    assert [c[:3] for c in calls] == [(1, 6, 'ddim:1.0')] * 4 + [
+        (2, 6, 'ddim:1.0')] * 2          # wrong-label runs permute 1 -> 2
+    assert calls[0][3] == {}                                   # baseline
+    assert calls[1][3] == {'class_cond_scale': 2.0}
+    assert calls[2][3] == {'class_cond_scale': 2.0,
+                           'class_guidance_start_steps': 3}    # warmup
+    assert calls[3][3] == {'cond_scale': 1.5}                  # other axis
+    assert calls[4][3] == {}                                   # wrong s=1
+    assert calls[5][3] == {'class_cond_scale': 2.0}            # wrong s=2
+    # no variant ever sets both axes (reference dual-CFG guard parity)
+    assert not any('cond_scale' in gk and 'class_cond_scale' in gk
+                   for *_, gk in calls)
+    out = capsys.readouterr().out
+    assert 'CFG summary' in out and 'WRONG-label' in out
