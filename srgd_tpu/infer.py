@@ -171,15 +171,24 @@ class SamplerCache:
         self.opts = opts
         self._cache = {}
 
-    def sample(self, cond_np: np.ndarray, label, seed: int) -> np.ndarray:
+    def sample(self, cond_np: np.ndarray, label, seed: int,
+               guidance: dict | None = None) -> np.ndarray:
         """cond_np: (B, H, W, C) in [0,1]; label: None, int (applied to every
-        canvas), or per-canvas (B,) array; returns (B, 4H, 4W, C)."""
+        canvas), or per-canvas (B,) array; returns (B, 4H, 4W, C).
+
+        ``guidance`` optionally overrides the CFG knobs for THIS call
+        (cond_scale / class_cond_scale / *_start_steps) — the serving
+        daemon's per-request guidance (the measured recipe is per-class,
+        docs/PERF.md q90). Each distinct scale is its own compiled
+        program (both here and in the wrapper's host-loop cache)."""
         import jax
         import jax.numpy as jnp
         if label is not None:
             label = np.broadcast_to(
                 np.asarray(label, np.int32).reshape(-1), (cond_np.shape[0],))
         o = self.opts
+        if guidance:
+            o = {**o, **guidance}
         fn = partial(self.wrapper.tiled_sample,
                      batch_size=o['batch_size'], tile_size=o['tile_size'],
                      tile_stride=o.get('tile_stride'),
@@ -194,7 +203,10 @@ class SamplerCache:
             jitted = (lambda p, r, c: fn(p, r, c, host_loop=True)) if label is None                 else (lambda p, r, c, l: fn(p, r, c, l, host_loop=True))
         else:
             # label presence changes the jitted fn's arity — key on it
-            key = (cond_np.shape, o['num_sample_steps'], label is None)
+            # (and on the guidance point: scales are trace-time constants)
+            key = (cond_np.shape, o['num_sample_steps'], label is None,
+                   o['cond_scale'], o['class_cond_scale'],
+                   o['guidance_start_steps'], o['class_guidance_start_steps'])
             if key not in self._cache:
                 if label is None:
                     self._cache[key] = jax.jit(lambda p, r, c: fn(p, r, c))

@@ -10,8 +10,11 @@ through either front-end, or both at once:
   outputs to ``--output_dir`` (same skip-existing/rename semantics as the
   batch CLI, so it is idempotent and resumable);
 - **http**: stdlib threaded HTTP server — ``POST /v1/sr`` (image body in,
-  PNG out, knobs via query string), ``GET /healthz`` (liveness + model
-  info, responsive even mid-sample), ``GET /stats`` (counters).
+  PNG out; query knobs ``seed``, ``label``, and since round 9 per-request
+  classifier-free guidance ``class_cond_scale`` / ``cond_scale`` — the
+  measured recipe is per-class, docs/PERF.md q90; both axes at once is a
+  400 per the reference's dual-CFG guard), ``GET /healthz`` (liveness +
+  model info, responsive even mid-sample), ``GET /stats`` (counters).
 
 TPU-first serving design:
 
@@ -357,14 +360,15 @@ class Server:
         return s
 
     # -- one request -------------------------------------------------------
-    def _timed_sample(self, conds, labels, seed):
+    def _timed_sample(self, conds, labels, seed, guidance=None):
         """All device sampling funnels through here so /stats//metrics can
         report how long the current sample has been in flight."""
         with self.lock:
             with self.stats_lock:
                 self._sample_started = time.time()
             try:
-                return self.sampler.sample(conds, labels, seed)
+                return self.sampler.sample(conds, labels, seed,
+                                           guidance=guidance)
             finally:
                 with self.stats_lock:
                     self._sample_started = None
@@ -375,26 +379,47 @@ class Server:
         the server seed."""
         return self._timed_sample(conds, labels, self.args.seed)
 
-    def super_resolve(self, image, seed=None, test_label=None):
+    def super_resolve(self, image, seed=None, test_label=None,
+                      cond_scale=None, class_cond_scale=None):
         """PIL image in -> 4x PIL image out (bucketed geometry).
 
         Requests without an explicit seed may be coalesced with concurrent
         same-geometry requests (--coalesce_window); an explicit seed always
         runs alone so per-request determinism holds (the reference's
-        re-seed-per-image contract, inference.py:81)."""
+        re-seed-per-image contract, inference.py:81).
+
+        cond_scale / class_cond_scale override the daemon-level CFG knobs
+        for this request (the measured guidance recipe is PER-CLASS —
+        docs/PERF.md q90: class scale 2-3 for realsr labels, 1.0
+        elsewhere). A guided request always runs alone: coalescing mixes
+        canvases into one program and guidance is a trace-time constant."""
         from PIL import Image
         from srgd_tpu.infer import upscale_bicubic
         label = self.args.test_label if test_label is None else test_label
+        guidance = {}
+        if cond_scale is not None:
+            guidance['cond_scale'] = float(cond_scale)
+        if class_cond_scale is not None:
+            guidance['class_cond_scale'] = float(class_cond_scale)
+        eff_cond = guidance.get('cond_scale', self.args.cond_scale)
+        eff_class = guidance.get('class_cond_scale',
+                                 self.args.class_cond_scale)
+        if eff_cond != 1.0 and eff_class != 1.0:
+            # same contract as the reference (model.py:3138-3139) and the
+            # wrapper guard, surfaced before any device work
+            raise ValueError('guidance on both axes is unsupported: pick '
+                             'cond_scale or class_cond_scale, not both')
         padded, orig = bucket_pad(image, self.args.lr_bucket)
         upscaled = upscale_bicubic(padded, 4, self.args.interpolation)
         cond = np.asarray(upscaled, dtype=np.float32)[None] / 255.0
 
         t0 = time.time()
-        if self.batcher is not None and seed is None:
+        if self.batcher is not None and seed is None and not guidance:
             out = self.batcher.submit(cond, label)
         else:
             out = self._timed_sample(
-                cond, label, self.args.seed if seed is None else seed)[0]
+                cond, label, self.args.seed if seed is None else seed,
+                guidance=guidance or None)[0]
         dt = time.time() - t0
 
         arr = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
@@ -616,7 +641,25 @@ class Server:
                 try:
                     seed = int(q['seed'][0]) if 'seed' in q else None
                     label = (int(q['label'][0]) if 'label' in q else None)
-                    sr = server.super_resolve(img, seed=seed, test_label=label)
+                    cs = (float(q['cond_scale'][0])
+                          if 'cond_scale' in q else None)
+                    ccs = (float(q['class_cond_scale'][0])
+                          if 'class_cond_scale' in q else None)
+                except ValueError as e:
+                    server.bump_error()
+                    self._json(400, {'error': f'bad query param: {e}'})
+                    return
+                try:
+                    sr = server.super_resolve(img, seed=seed, test_label=label,
+                                              cond_scale=cs,
+                                              class_cond_scale=ccs)
+                except ValueError as e:
+                    # request contract violation (e.g. guidance on both
+                    # axes — reference parity guard), not a server fault
+                    server.bump_error()
+                    self._json(400, {'error': str(e)})
+                    return
+                try:
                     buf = io.BytesIO()
                     sr.save(buf, format='PNG')
                     body = buf.getvalue()

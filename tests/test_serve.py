@@ -426,3 +426,49 @@ def test_warmup_compiles_and_restores_counters(server):
     for k in ('served', 'errors', 'mpix'):
         assert after[k] == before[k], (k, after[k], before[k])
     assert after['sample_inflight_seconds'] == 0.0
+
+
+def test_http_per_request_guidance(server):
+    """Per-request classifier-free guidance via the query string (round 9;
+    the measured q90 recipe is per-class, so the daemon default cannot
+    serve mixed traffic): a guided request succeeds and steers the output
+    (different pixels, same seed), guidance on both axes is rejected 400
+    per the reference's dual-CFG guard (model.py:3138-3139), and a
+    malformed scale is a 400, not a 500."""
+    server.args.port = 0
+    httpd = server.make_http_server()
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.BytesIO()
+        Image.fromarray((np.random.RandomState(3).rand(6, 6, 3) * 255)
+                        .astype(np.uint8)).save(buf, format='PNG')
+        png = buf.getvalue()
+        conn = http.client.HTTPConnection('127.0.0.1', port, timeout=300)
+
+        conn.request('POST', '/v1/sr?seed=5&label=1', body=png)
+        r = conn.getresponse()
+        assert r.status == 200
+        base = np.asarray(Image.open(io.BytesIO(r.read())))
+
+        conn.request('POST', '/v1/sr?seed=5&label=1&class_cond_scale=2',
+                     body=png)
+        r = conn.getresponse()
+        assert r.status == 200
+        guided = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert guided.shape == base.shape
+        assert not np.array_equal(guided, base)   # the scale reached the net
+
+        conn.request('POST', '/v1/sr?cond_scale=1.5&class_cond_scale=1.5',
+                     body=png)
+        r = conn.getresponse()
+        assert r.status == 400
+        assert 'both axes' in json.loads(r.read())['error']
+
+        conn.request('POST', '/v1/sr?class_cond_scale=nope', body=png)
+        r = conn.getresponse()
+        assert r.status == 400
+        json.loads(r.read())
+    finally:
+        httpd.shutdown()
