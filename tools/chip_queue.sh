@@ -18,13 +18,10 @@
 # incl. the full 60k train + wide eval: ALL in docs/PERF.md) are skipped
 # by default: their numbers survive in the docs even though reboots keep
 # wiping the markers/artifacts. Set CHIPQ_FORCE=1 to re-measure them.
-# OUTSTANDING round-5 items (VERDICT r4), in run order:
-#   q91  persistent compilation cache on the TPU entry points: one
-#        controlled cold/warm bench restart pair (VERDICT r4 #2)
-#   q90  classifier-free guidance utility ladder on the 60k trained
-#        checkpoint + wrong-label control (VERDICT r4 #1 — the namesake
-#        mechanism has zero trained-weights utility evidence)
-#   q95  bench with the validated fast profile second metric (r4 #4)
+# Round-5 update: q91 (compile cache cold/warm), q90 (CFG utility
+# ladder on the 60k ckpt) and q95 (fast-profile bench) are MEASURED and
+# recorded in docs/PERF.md — now recorded_item so a marker-wiping reboot
+# doesn't re-burn them. OUTSTANDING round-5 items, in run order:
 #   q92  a/b/c: train the FLAGSHIP-WIDTH dim-128 net ~12k steps on the
 #        evidence pipeline, then re-gate the dc2:2 / int8cal-deep512 /
 #        few-step-eta ship defaults on trained flagship features (r4 #3)
@@ -188,7 +185,7 @@ fi
 # is a fresh process against the now-warm cache. Compare the two
 # 'compile+first' phase lines. BENCH_PROFILE= keeps the runs comparable
 # with BENCH_r04 (single-metric).
-run_item q91_compile_cache_coldwarm 7200 bash -c '
+recorded_item q91_compile_cache_coldwarm 7200 bash -c '
     rm -rf "$CHIPQ_DIR/q91_cache"
     echo "=== COLD (empty compile cache) ==="
     SRGD_COMPILE_CACHE="$CHIPQ_DIR/q91_cache" BENCH_PROFILE= \
@@ -206,7 +203,7 @@ run_item q91_compile_cache_coldwarm 7200 bash -c '
 # with wrong-label controls at scale 1 and 2. Defaults overridden to all
 # 3 classes so the per-class table covers the winning class too.
 if [ -n "$EV_LONG" ]; then
-    run_item q90_cfg_ladder 12600 env EV_CKPT="$EV_CKPT_DIR" \
+    recorded_item q90_cfg_ladder 12600 env EV_CKPT="$EV_CKPT_DIR" \
         EV_IMAGES=0 EV_LADDER_CLASSES='' EV_CFG=1 EV_CFG_CLASSES='0,1,2' \
         SRGD_COMPILE_CACHE="$CHIPQ_DIR/q91_cache" \
         python tools/evidence_eval.py
@@ -217,7 +214,7 @@ fi
 # q95: the round-5 bench contract — headline + the validated fast-profile
 # second metric (eta1-ddim25, VERDICT r4 #4) in one run, exactly what the
 # driver will execute at round end. Also warms the default .jax_cache.
-run_item q95_bench_fast_profile 7200 env \
+recorded_item q95_bench_fast_profile 7200 env \
     BENCH_CAL_CACHE="$CHIPQ_DIR/cal_cal512.npz" python bench.py
 
 # q92a: train the FLAGSHIP-WIDTH dim-128 net on the evidence pipeline
