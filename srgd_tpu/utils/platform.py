@@ -90,8 +90,16 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
         # the flagship programs all take >>1s to compile; the floor only
-        # filters out trivial host utility programs
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.4)
+        # filters out trivial host utility programs. Honoring JAX's own env
+        # override matters operationally: cache WRITES of CPU executables
+        # can segfault after a host migration changes the machine features
+        # (observed 2026-08-21, put_executable_and_time) — setting
+        # JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1e9 keeps warm reads
+        # while disabling the crashing writes.
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          float(os.environ.get(
+                              'JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS',
+                              0.4)))
     except Exception:
         return None  # ancient jax without the knobs: run uncached
     return cache_dir
