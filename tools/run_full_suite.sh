@@ -9,6 +9,17 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p .ci
+# Stability defaults for this box (overridable): after a host migration
+# changed the machine features, XLA-CPU codegen at the default ISA
+# segfaulted two full runs (2026-08-21: once in the compile-cache write,
+# once inside backend_compile_and_load — stacks in the committed .ci
+# logs). Capping codegen at AVX2 and disabling cache WRITES (reads stay
+# warm) ran the fast tier green; SUITE_XLA_ISA='' reverts.
+ISA=${SUITE_XLA_ISA-AVX2}
+if [ -n "$ISA" ]; then
+    export XLA_FLAGS="${XLA_FLAGS:-} --xla_cpu_max_isa=$ISA"
+    export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=${JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS:-1000000000}
+fi
 STAMP=$(date -u +%Y%m%dT%H%M%SZ)
 LOG=".ci/full_suite_${STAMP}.log"
 {
