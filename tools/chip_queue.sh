@@ -18,17 +18,17 @@
 # incl. the full 60k train + wide eval: ALL in docs/PERF.md) are skipped
 # by default: their numbers survive in the docs even though reboots keep
 # wiping the markers/artifacts. Set CHIPQ_FORCE=1 to re-measure them.
-# Round-5 update: q91 (compile cache cold/warm), q90 (CFG utility
-# ladder on the 60k ckpt) and q95 (fast-profile bench) are MEASURED and
-# recorded in docs/PERF.md — now recorded_item so a marker-wiping reboot
-# doesn't re-burn them. OUTSTANDING round-5 items, in run order:
-#   q92  a/b/c: train the FLAGSHIP-WIDTH dim-128 net ~12k steps on the
-#        evidence pipeline, then re-gate the dc2:2 / int8cal-deep512 /
-#        few-step-eta ship defaults on trained flagship features (r4 #3)
+# Round-5 update: q90 (CFG ladder), q91 (compile cache), q95
+# (fast-profile bench), q94 (convert->serve on-device) and q92a/b/c (the
+# 12k-step dim-128 trained re-gate: int8/dc OUT of bf16's band, eta
+# verdicts reproduce) are ALL MEASURED and recorded in docs/PERF.md —
+# recorded_item so a marker-wiping reboot doesn't re-burn them.
+# OUTSTANDING items, in run order:
 #   q93  a/b: second-draw dim-64 retrain to 40k + eta few-step ladder —
-#        two-draw robustness for the eta-1.0 serving default (r4 #7)
-#   q94  synthesized flagship ckpt through the serve daemon on-device
-#        (tools/serve_ckpt_probe.sh, r4 #8)
+#        two-draw robustness for the eta-1.0 serving default (r4 #7;
+#        partial steps banked in .evidence/run_draw2, auto-resumes)
+#   q92-ext: extend .evidence/run128 past 12k to a converged step count
+#        and re-run q92b/c there (the 12k re-gate may be undertrained)
 set -u
 cd "$(dirname "$0")/.."
 # .chipq (gitignored, under the repo) survives reboots; /tmp does not.
@@ -225,7 +225,7 @@ recorded_item q95_bench_fast_profile 7200 env \
 RUN128="${EV_ROOT:-/root/repo/.evidence}/run128"
 CKPT128="$RUN128/evidence_dim128_synth_best_loss"
 if [ -d "${EV_ROOT:-/root/repo/.evidence}/synth_train" ]; then
-    run_item q92a_train_dim128 12600 env TRAIN_MILESTONE_EVERY=6000 \
+    recorded_item q92a_train_dim128 12600 env TRAIN_MILESTONE_EVERY=6000 \
         python -m srgd_tpu.train.loop \
         -c conf/trained_evidence_dim128_synth.yaml \
         --data_dir "${EV_ROOT:-/root/repo/.evidence}/synth_train" \
@@ -239,14 +239,14 @@ fi
 # int8cal-deep512 (w8a8 at QP_QMIN=512), dc2:2 on both, dc3:2 — all vs
 # fp32 on the SAME trained weights.
 if [ -d "$CKPT128" ]; then
-    run_item q92b_ladder_dim128_trained 10800 env \
+    recorded_item q92b_ladder_dim128_trained 10800 env \
         QP_CONF=conf/trained_evidence_dim128_synth.yaml \
         QP_CKPT="$CKPT128" QP_LR=128 QP_STEPS=50 QP_QMIN=512 \
         QP_MODES='float32,bfloat16,w8a8,w8a8+dc2.2,bfloat16+dc2.2,bfloat16+dc3.2' \
         QP_SAVE_DIR="$CHIPQ_DIR/q92_canvases" \
         python tools/quality_probe.py
     # q92c: few-step eta ladder + SR-vs-input per class at dim 128
-    run_item q92c_eta_ladder_dim128 12600 env EV_CKPT="$CKPT128" \
+    recorded_item q92c_eta_ladder_dim128 12600 env EV_CKPT="$CKPT128" \
         EV_CONF=conf/trained_evidence_dim128_synth.yaml \
         EV_IMAGES=2 EV_LADDER_IMAGES=1 \
         EV_LADDER_MODES='ddim-25,dpmpp-25,ddim:1.0-50,ddim:1.0-25' \
@@ -280,7 +280,7 @@ else
 fi
 
 # q94: synthesized flagship ckpt through the serve daemon ON-DEVICE
-run_item q94_serve_flagship_ckpt 3600 bash tools/serve_ckpt_probe.sh
+recorded_item q94_serve_flagship_ckpt 3600 bash tools/serve_ckpt_probe.sh
 
 # q44: DeepCache + few-step ladder refresh on the LONG-trained checkpoint
 # (does the q42 dc2:2 verdict and the q50 eta1-ddim25 winner hold as the
